@@ -1,0 +1,28 @@
+from . import geometry, resize, solvers
+from .geometry import (
+    angle_between,
+    angle_diff_vec3,
+    depth_map_edge,
+    depth_map_to_normal_map,
+    depth_map_to_point_map,
+    focal_to_fov,
+    fov_to_focal,
+    gaussian_blur_2d,
+    geometric_mean,
+    harmonic_mean,
+    intrinsics_from_focal_center,
+    intrinsics_from_fov,
+    intrinsics_to_fov,
+    masked_nearest_resize,
+    normal_map_edge,
+    normalized_view_plane_uv,
+    point_map_to_depth_legacy,
+    point_map_to_normal_map,
+    project_cv,
+    threshold_depth_change,
+    unproject_cv,
+    uv_map,
+    weighted_mean,
+)
+from .resize import resize_2d, resize_image, resize_matrix
+from .solvers import recover_focal_shift, solve_optimal_focal_shift, solve_optimal_shift
