@@ -1,0 +1,201 @@
+"""Checkpoint conversion: torch state_dicts -> moge_tpu flax param pytrees.
+
+Handles the published MoGe checkpoint format ``{'model_config': ..., 'model':
+state_dict}`` (reference moge/model/v1.py:214-242, v2.py:77-107) and raw
+DINOv2 backbone state_dicts from the facebook hub. Accepts either torch
+tensors or numpy arrays, so checkpoints can be read with the bundled
+torch-free ``.pt`` reader (moge_tpu/utils/pt_loader.py) on hosts without
+torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Sequence, Tuple
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (avoid importing torch unless given one)
+    return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+
+def _dense(w, b=None) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.ascontiguousarray(_np(w).T)}
+    if b is not None:
+        out["bias"] = _np(b)
+    return out
+
+
+def _norm(w, b) -> Dict[str, np.ndarray]:
+    return {"scale": _np(w), "bias": _np(b)}
+
+
+def _conv1x1(w, b=None) -> Dict[str, np.ndarray]:
+    """torch Conv2d 1x1 weight (O, I, 1, 1) -> dense kernel (I, O)."""
+    k = _np(w)[:, :, 0, 0].T
+    out = {"kernel": np.ascontiguousarray(k)}
+    if b is not None:
+        out["bias"] = _np(b)
+    return out
+
+
+def _conv(w, b=None) -> Dict[str, np.ndarray]:
+    """torch Conv2d weight (O, I, kh, kw) -> flax HWIO kernel (kh, kw, I, O)."""
+    k = np.ascontiguousarray(_np(w).transpose(2, 3, 1, 0))
+    out = {"kernel": k}
+    if b is not None:
+        out["bias"] = _np(b)
+    return out
+
+
+def _res_block(sd: Mapping[str, Any], prefix: str, in_norm: str, hidden_norm: str) -> Dict[str, Any]:
+    """torch ResidualConvBlock (reference modules.py:18-68) -> flax params.
+
+    torch Sequential indices: 0=in_norm, 1=act, 2=conv, 3=hidden_norm, 4=act,
+    5=conv; plus skip_connection (1x1 conv) when in!=out channels.
+    """
+    blk: Dict[str, Any] = {}
+    if in_norm in ("group_norm", "layer_norm"):
+        blk["norm1"] = _norm(sd[prefix + "layers.0.weight"], sd[prefix + "layers.0.bias"])
+    blk["conv1"] = {"conv": _conv(sd[prefix + "layers.2.weight"], sd[prefix + "layers.2.bias"])}
+    if hidden_norm in ("group_norm", "layer_norm"):
+        blk["norm2"] = _norm(sd[prefix + "layers.3.weight"], sd[prefix + "layers.3.bias"])
+    blk["conv2"] = {"conv": _conv(sd[prefix + "layers.5.weight"], sd[prefix + "layers.5.bias"])}
+    if prefix + "skip_connection.weight" in sd:
+        blk["skip"] = _conv1x1(sd[prefix + "skip_connection.weight"], sd[prefix + "skip_connection.bias"])
+    return blk
+
+
+def _resampler(sd: Mapping[str, Any], prefix: str, type_: str) -> Dict[str, Any]:
+    """torch Resampler Sequential (reference modules.py:139-182) -> flax params."""
+    out: Dict[str, Any] = {}
+    if type_ == "pixel_shuffle":
+        out["conv_pre"] = {"conv": _conv(sd[prefix + "0.weight"], sd[prefix + "0.bias"])}
+        out["conv_post"] = {"conv": _conv(sd[prefix + "2.weight"], sd[prefix + "2.bias"])}
+    elif type_ in ("nearest", "bilinear"):
+        out["conv_post"] = {"conv": _conv(sd[prefix + "1.weight"], sd[prefix + "1.bias"])}
+    elif type_ == "conv_transpose":
+        # torch ConvTranspose2d weight (I, O, s, s) -> our (I, s, s, O)
+        w = _np(sd[prefix + "0.weight"]).transpose(0, 2, 3, 1)
+        out["deconv"] = {"kernel": np.ascontiguousarray(w), "bias": _np(sd[prefix + "0.bias"])}
+        out["conv_post"] = {"conv": _conv(sd[prefix + "1.weight"], sd[prefix + "1.bias"])}
+    elif type_ == "pixel_unshuffle":
+        out["conv_post"] = {"conv": _conv(sd[prefix + "1.weight"], sd[prefix + "1.bias"])}
+    elif type_ in ("avg_pool", "max_pool"):
+        out["conv_pre"] = {"conv": _conv(sd[prefix + "0.weight"], sd[prefix + "0.bias"])}
+    else:
+        raise ValueError(f"Unsupported resampler type: {type_}")
+    return out
+
+
+def convert_conv_stack(sd: Mapping[str, Any], prefix: str, cfg: Mapping[str, Any]) -> Dict[str, Any]:
+    """torch ConvStack (reference modules.py:195-254) -> flax params."""
+    dims = list(cfg["dim_res_blocks"])
+    n = len(dims)
+    num_res = cfg.get("num_res_blocks", 1)
+    num_res = num_res if isinstance(num_res, list) else [num_res] * n
+    resamplers = cfg["resamplers"]
+    resamplers = resamplers if isinstance(resamplers, list) else [resamplers] * (n - 1)
+    in_norm = cfg.get("res_block_in_norm", "layer_norm")
+    hidden_norm = cfg.get("res_block_hidden_norm", "group_norm")
+
+    params: Dict[str, Any] = {}
+    for i in range(n):
+        key = f"{prefix}input_blocks.{i}.weight"
+        if key in sd:
+            params[f"input_{i}"] = _conv1x1(sd[key], sd[f"{prefix}input_blocks.{i}.bias"])
+        for j in range(num_res[i]):
+            params[f"res_{i}_{j}"] = _res_block(sd, f"{prefix}res_blocks.{i}.{j}.", in_norm, hidden_norm)
+        okey = f"{prefix}output_blocks.{i}.weight"
+        if okey in sd:
+            params[f"output_{i}"] = _conv1x1(sd[okey], sd[f"{prefix}output_blocks.{i}.bias"])
+        if i < n - 1:
+            params[f"resampler_{i}"] = _resampler(sd, f"{prefix}resamplers.{i}.", resamplers[i])
+    return params
+
+
+def convert_mlp(sd: Mapping[str, Any], prefix: str, dims: Sequence[int]) -> Dict[str, Any]:
+    """torch MLP Sequential (Linear, ReLU, ..., Linear) -> flax params."""
+    params: Dict[str, Any] = {}
+    n_linear = len(dims) - 1
+    for i in range(n_linear):
+        torch_idx = 2 * i  # Linear at even indices, ReLU at odd
+        params[f"fc{i}"] = _dense(sd[f"{prefix}{torch_idx}.weight"], sd[f"{prefix}{torch_idx}.bias"])
+    return params
+
+
+def convert_encoder(sd: Mapping[str, Any], prefix: str, cfg: Mapping[str, Any]) -> Dict[str, Any]:
+    """torch DINOv2Encoder (reference modules.py:71-136) -> flax params."""
+    params: Dict[str, Any] = {"backbone": convert_dinov2_backbone(sd, prefix + "backbone.")}
+    layers = cfg["intermediate_layers"]
+    num = layers if isinstance(layers, int) else len(layers)
+    for i in range(num):
+        params[f"proj_{i}"] = _conv1x1(
+            sd[f"{prefix}output_projections.{i}.weight"], sd[f"{prefix}output_projections.{i}.bias"]
+        )
+    return params
+
+
+def convert_moge2(checkpoint: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Published MoGe-2 checkpoint {'model_config', 'model'} -> (config, flax params)."""
+    config = dict(checkpoint["model_config"])
+    sd = checkpoint["model"]
+    params: Dict[str, Any] = {
+        "encoder": convert_encoder(sd, "encoder.", config["encoder"]),
+        "neck": convert_conv_stack(sd, "neck.", config["neck"]),
+    }
+    for head in ("points_head", "normal_head", "mask_head"):
+        if config.get(head) is not None and any(k.startswith(head + ".") for k in sd):
+            params[head] = convert_conv_stack(sd, head + ".", config[head])
+    if config.get("scale_head") is not None and any(k.startswith("scale_head.") for k in sd):
+        params["scale_head"] = convert_mlp(sd, "scale_head.", config["scale_head"]["dims"])
+    return config, params
+
+
+def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """torch DINOv2 state_dict -> DinoViT flax params dict."""
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    p = _np(g("patch_embed.proj.weight"))  # (D, 3, p, p)
+    dim = p.shape[0]
+    psz = p.shape[-1]
+    params: Dict[str, Any] = {
+        "patch_kernel": np.ascontiguousarray(p.transpose(2, 3, 1, 0).reshape(psz * psz * 3, dim)),
+        "patch_bias": _np(g("patch_embed.proj.bias")),
+        "cls_token": _np(g("cls_token")),
+        "pos_embed": _np(g("pos_embed")),
+        "norm": _norm(g("norm.weight"), g("norm.bias")),
+    }
+    if prefix + "register_tokens" in sd:
+        params["register_tokens"] = _np(g("register_tokens"))
+
+    depth = 0
+    while f"{prefix}blocks.{depth}.norm1.weight" in sd:
+        depth += 1
+    for i in range(depth):
+        bp = f"blocks.{i}."
+        blk: Dict[str, Any] = {
+            "norm1": _norm(g(bp + "norm1.weight"), g(bp + "norm1.bias")),
+            "attn": {
+                "qkv": _dense(g(bp + "attn.qkv.weight"), g(bp + "attn.qkv.bias")),
+                "proj": _dense(g(bp + "attn.proj.weight"), g(bp + "attn.proj.bias")),
+            },
+            "norm2": _norm(g(bp + "norm2.weight"), g(bp + "norm2.bias")),
+        }
+        if prefix + bp + "mlp.fc1.weight" in sd:
+            blk["mlp"] = {
+                "fc1": _dense(g(bp + "mlp.fc1.weight"), g(bp + "mlp.fc1.bias")),
+                "fc2": _dense(g(bp + "mlp.fc2.weight"), g(bp + "mlp.fc2.bias")),
+            }
+        else:  # SwiGLU (giant)
+            blk["mlp"] = {
+                "w12": _dense(g(bp + "mlp.w12.weight"), g(bp + "mlp.w12.bias")),
+                "w3": _dense(g(bp + "mlp.w3.weight"), g(bp + "mlp.w3.bias")),
+            }
+        if prefix + bp + "ls1.gamma" in sd:
+            blk["ls1_gamma"] = _np(g(bp + "ls1.gamma"))
+            blk["ls2_gamma"] = _np(g(bp + "ls2.gamma"))
+        params[f"blocks_{i}"] = blk
+    return params

@@ -1,0 +1,267 @@
+"""DINOv2 vision transformer, TPU-native (flax.linen).
+
+Functionally equivalent to the torch DINOv2 vendored by the reference
+(moge/model/dinov2/models/vision_transformer.py, layers/*) for the paths MoGe
+uses: patch embed -> interpolated pos-embed -> pre-LN blocks with LayerScale ->
+`get_intermediate_layers` with shared final LayerNorm. Design differences
+(TPU-first, not a translation):
+
+  * patch embedding is a reshape + single MXU matmul (a stride-14 conv with
+    kernel==stride is exactly that);
+  * attention runs in bf16 on the MXU with fp32 softmax (replaces torch SDPA /
+    xformers memory-efficient attention);
+  * LayerNorm statistics always in fp32 regardless of activation dtype
+    (matches torch autocast numerics);
+  * pos-embed interpolation reuses the torch-exact bicubic resampler with the
+    historical ``interpolate_offset=0.1`` scale-factor kludge
+    (reference vision_transformer.py:187-221), computed in fp32;
+  * no nested-tensor/stochastic-depth paths (unused by MoGe: drop_path=0,
+    single-size batches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resize import resize_2d
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    patch_size: int = 14
+    pos_grid: int = 37  # img_size 518 / patch 14 (hub defaults, backbones.py:18-31)
+    init_values: Optional[float] = 1.0
+    ffn: str = "mlp"  # "mlp" | "swiglu"
+    interpolate_offset: float = 0.1
+    num_register_tokens: int = 0
+
+
+# Hub architectures (reference dinov2/models/vision_transformer.py:351-407).
+VIT_ARCHS = {
+    "dinov2_vits14": ViTConfig(embed_dim=384, depth=12, num_heads=6),
+    "dinov2_vitb14": ViTConfig(embed_dim=768, depth=12, num_heads=12),
+    "dinov2_vitl14": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
+    "dinov2_vitg14": ViTConfig(embed_dim=1536, depth=40, num_heads=24, ffn="swiglu"),
+}
+
+
+def layer_norm_fp32(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm with fp32 statistics, output cast back to input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return layer_norm_fp32(x, scale, bias, self.eps)
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Scaled dot-product attention, (B, N, H, D) layout.
+
+    bf16 matmuls on the MXU with fp32 logit accumulation + fp32 softmax
+    (torch SDPA numerics under fp16 autocast upcast softmax similarly).
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
+    return out
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        batch, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(batch, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = sdpa(q, k, v).reshape(batch, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default = exact erf
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class SwiGLU(nn.Module):
+    """SwiGLUFFNFused (giant arch only; reference dinov2/layers/swiglu_ffn.py)."""
+
+    dim: int
+    hidden: int  # already the fused 2/3-adjusted hidden size
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="w3")(nn.silu(x1) * x2)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_hidden: int
+    use_layer_scale: bool = True
+    ffn: str = "mlp"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = LayerNorm(name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        if self.use_layer_scale:
+            gamma1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+            h = h * gamma1.astype(h.dtype)
+        x = x + h
+
+        h = LayerNorm(name="norm2")(x)
+        if self.ffn == "swiglu":
+            h = SwiGLU(self.dim, self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        else:
+            h = Mlp(self.dim, self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        if self.use_layer_scale:
+            gamma2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+            h = h * gamma2.astype(h.dtype)
+        return x + h
+
+
+class DinoViT(nn.Module):
+    """DINOv2 backbone. Input: NHWC image (already resized to multiples of 14
+    and ImageNet-normalized). Returns intermediate layers' (patch, cls) tokens.
+    """
+
+    config: ViTConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def interpolate_pos_encoding(self, pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
+        """Bicubic pos-embed interpolation with the historical 0.1 offset kludge
+        (reference vision_transformer.py:187-221). fp32 compute."""
+        cfg = self.config
+        M = cfg.pos_grid
+        if h0 == M and w0 == M:
+            return pos_embed
+        pe = pos_embed.astype(jnp.float32)
+        class_pe, patch_pe = pe[:, :1], pe[:, 1:]
+        dim = pe.shape[-1]
+        patch_pe = patch_pe.reshape(1, M, M, dim)
+        if cfg.interpolate_offset > 0:
+            sf = (float(h0 + cfg.interpolate_offset) / M, float(w0 + cfg.interpolate_offset) / M)
+            patch_pe = resize_2d(patch_pe, (h0, w0), mode="bicubic", scale_factor=sf, channel_last=True)
+        else:
+            patch_pe = resize_2d(patch_pe, (h0, w0), mode="bicubic", channel_last=True)
+        patch_pe = patch_pe.reshape(1, h0 * w0, dim)
+        return jnp.concatenate([class_pe, patch_pe], axis=1)
+
+    @nn.compact
+    def __call__(
+        self, image: jax.Array, take_layers: Sequence[int]
+    ) -> List[Tuple[jax.Array, jax.Array]]:
+        """``image``: (B, H*14, W*14, 3) normalized NHWC. ``take_layers``: block
+        indices whose outputs to return (reference get_intermediate_layers).
+        Returns [(patch_tokens (B, h0*w0, D), cls_token (B, D)), ...], each
+        passed through the shared final LayerNorm.
+        """
+        cfg = self.config
+        b, hpix, wpix, _ = image.shape
+        p = cfg.patch_size
+        h0, w0 = hpix // p, wpix // p
+        dim = cfg.embed_dim
+
+        # Patch embedding: stride-p conv with kernel==stride == reshape+matmul.
+        x = image.astype(self.dtype)
+        x = x.reshape(b, h0, p, w0, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(b, h0 * w0, p * p * 3)
+        kernel = self.param("patch_kernel", nn.initializers.lecun_normal(), (p * p * 3, dim), jnp.float32)
+        pbias = self.param("patch_bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x = x @ kernel.astype(self.dtype) + pbias.astype(self.dtype)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, dim), jnp.float32)
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, cfg.pos_grid * cfg.pos_grid + 1, dim),
+            jnp.float32,
+        )
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, dim)), x], axis=1)
+        pe = self.interpolate_pos_encoding(pos_embed, h0, w0)
+        x = x + pe.astype(self.dtype)
+
+        if cfg.num_register_tokens:
+            reg = self.param(
+                "register_tokens", nn.initializers.zeros, (1, cfg.num_register_tokens, dim), jnp.float32
+            )
+            x = jnp.concatenate(
+                [x[:, :1], jnp.broadcast_to(reg.astype(self.dtype), (b, cfg.num_register_tokens, dim)), x[:, 1:]],
+                axis=1,
+            )
+
+        mlp_hidden = int(dim * cfg.mlp_ratio)
+        if cfg.ffn == "swiglu":
+            # SwiGLUFFNFused hidden sizing (reference swiglu_ffn.py): 2/3 * 4d,
+            # rounded up to a multiple of 8.
+            mlp_hidden = (int(dim * cfg.mlp_ratio * 2 / 3) + 7) // 8 * 8
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block)
+
+        take = set(int(i) for i in take_layers)
+        outputs = []
+        for i in range(cfg.depth):
+            x = block_cls(
+                dim=dim,
+                num_heads=cfg.num_heads,
+                mlp_hidden=mlp_hidden,
+                use_layer_scale=cfg.init_values is not None,
+                ffn=cfg.ffn,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            if i in take:
+                outputs.append(x)
+
+        norm = LayerNorm(name="norm")
+        results = []
+        for out in outputs:
+            out = norm(out)
+            cls = out[:, 0]
+            patches = out[:, 1 + cfg.num_register_tokens :]
+            results.append((patches, cls))
+        return results

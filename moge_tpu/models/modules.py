@@ -1,0 +1,351 @@
+"""MoGe building blocks, TPU-native NHWC (flax.linen).
+
+Functional equivalents of reference moge/model/modules.py (ResidualConvBlock,
+DINOv2Encoder, Resampler, MLP, ConvStack), redesigned for XLA/TPU:
+
+  * all convs NHWC with explicit replicate (edge) padding;
+  * kernel==stride transposed conv (the reference's learned x2 upsampler,
+    modules.py:160-165) is a single MXU matmul + depth-to-space reshape;
+  * pixel shuffle/unshuffle are pure reshape/transposes;
+  * bilinear/nearest upsampling uses the torch-exact matmul resampler;
+  * norm statistics in fp32 under bf16 activations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resize import resize_2d
+from ..ops.geometry import normalized_view_plane_uv
+from .dinov2 import VIT_ARCHS, DinoViT
+
+# ImageNet normalization (reference modules.py:96-97).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _activation(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "leaky_relu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    if name == "silu":
+        return nn.silu
+    if name == "elu":
+        return nn.elu
+    raise ValueError(f"Unsupported activation function: {name}")
+
+
+def group_norm_fp32(x: jax.Array, num_groups: int, scale, bias, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over NHWC with fp32 statistics (torch GroupNorm semantics)."""
+    dtype = x.dtype
+    b, h, w, c = x.shape
+    x32 = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def instance_norm_fp32(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """torch InstanceNorm2d (affine=False) over NHWC with fp32 statistics."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
+
+
+class Norm2d(nn.Module):
+    """Config-selected norm (reference modules.py:48-57)."""
+
+    kind: str  # 'group_norm' | 'layer_norm' | 'instance_norm' | 'none'
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "none":
+            return x
+        if self.kind == "instance_norm":
+            return instance_norm_fp32(x)
+        groups = self.channels // 32 if self.kind == "group_norm" else 1
+        scale = self.param("scale", nn.initializers.ones, (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return group_norm_fp32(x, groups, scale, bias)
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with replicate padding (torch padding_mode='replicate')."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        if k > 1:
+            pad = k // 2
+            x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="edge")
+        return nn.Conv(
+            self.features, (k, k), padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class ResidualConvBlock(nn.Module):
+    """Reference modules.py:18-68: [norm, act, conv3, norm, act, conv3] + skip."""
+
+    in_channels: int
+    out_channels: Optional[int] = None
+    hidden_channels: Optional[int] = None
+    kernel_size: int = 3
+    activation: str = "relu"
+    in_norm: str = "layer_norm"
+    hidden_norm: str = "group_norm"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or self.in_channels
+        hid_ch = self.hidden_channels or self.in_channels
+        act = _activation(self.activation)
+
+        skip = x
+        if self.in_channels != out_ch:
+            skip = nn.Dense(out_ch, dtype=self.dtype, param_dtype=jnp.float32, name="skip")(x)
+
+        h = Norm2d(self.in_norm, self.in_channels, name="norm1")(x)
+        h = act(h)
+        h = Conv2d(hid_ch, self.kernel_size, dtype=self.dtype, name="conv1")(h)
+        h = Norm2d(self.hidden_norm, hid_ch, name="norm2")(h)
+        h = act(h)
+        h = Conv2d(out_ch, self.kernel_size, dtype=self.dtype, name="conv2")(h)
+        return h + skip
+
+
+class ConvTranspose2x(nn.Module):
+    """ConvTranspose2d(kernel=scale, stride=scale) as matmul + depth-to-space.
+
+    torch weight (I, O, s, s): y[2i+di, 2j+dj, o] = sum_c x[i,j,c] W[c,o,di,dj].
+    """
+
+    features: int
+    scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        s, o = self.scale, self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (c, s, s, o), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (o,), jnp.float32)
+        y = jnp.einsum("bhwc,cijo->bhwijo", x, kernel.astype(x.dtype))
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, o)  # (b, h, di, w, dj, o)
+        return y + bias.astype(y.dtype)
+
+
+def pixel_shuffle(x: jax.Array, scale: int) -> jax.Array:
+    """torch PixelShuffle: NHWC input channels ordered (C, di, dj)."""
+    b, h, w, c = x.shape
+    s = scale
+    x = x.reshape(b, h, w, c // (s * s), s, s)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * s, w * s, c // (s * s))
+
+
+def pixel_unshuffle(x: jax.Array, scale: int) -> jax.Array:
+    b, h, w, c = x.shape
+    s = scale
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // s, w // s, c * s * s)
+
+
+class Resampler(nn.Module):
+    """x2 up/down sampling in 7 flavours (reference modules.py:139-182)."""
+
+    in_channels: int
+    out_channels: int
+    type_: str
+    scale_factor: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        t, s = self.type_, self.scale_factor
+        if t == "pixel_shuffle":
+            x = Conv2d(self.out_channels * s * s, 3, dtype=self.dtype, name="conv_pre")(x)
+            x = pixel_shuffle(x, s)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+        elif t in ("nearest", "bilinear"):
+            b, h, w, _ = x.shape
+            x = resize_2d(x, (h * s, w * s), mode=t, channel_last=True)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+        elif t == "conv_transpose":
+            x = ConvTranspose2x(self.out_channels, s, dtype=self.dtype, name="deconv")(x)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+        elif t == "pixel_unshuffle":
+            x = pixel_unshuffle(x, s)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+        elif t == "avg_pool":
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_pre")(x)
+            x = nn.avg_pool(x, (s, s), strides=(s, s))
+        elif t == "max_pool":
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_pre")(x)
+            x = nn.max_pool(x, (s, s), strides=(s, s))
+        else:
+            raise ValueError(f"Unsupported resampler type: {t}")
+        return x
+
+
+class MLP(nn.Module):
+    """Linear/ReLU stack (reference modules.py:184-192)."""
+
+    dims: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, dim_out in enumerate(self.dims[1:-1]):
+            x = nn.Dense(dim_out, dtype=self.dtype, param_dtype=jnp.float32, name=f"fc{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.dims[-1], dtype=self.dtype, param_dtype=jnp.float32, name=f"fc{len(self.dims) - 2}")(x)
+
+
+class ConvStack(nn.Module):
+    """Multi-scale residual conv pyramid (reference modules.py:195-254).
+
+    ``__call__`` takes a list of per-level input features (or None) and returns
+    per-level outputs; level i runs at 2^i x the base resolution.
+    """
+
+    dim_in: Union[Optional[int], Sequence[Optional[int]]]
+    dim_res_blocks: Sequence[int]
+    dim_out: Union[Optional[int], Sequence[Optional[int]]]
+    resamplers: Union[str, Sequence[str]]
+    dim_times_res_block_hidden: int = 1
+    num_res_blocks: Union[int, Sequence[int]] = 1
+    res_block_in_norm: str = "layer_norm"
+    res_block_hidden_norm: str = "group_norm"
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: List[Optional[jax.Array]]) -> List[Optional[jax.Array]]:
+        n = len(self.dim_res_blocks)
+        dims_in = self.dim_in if isinstance(self.dim_in, (list, tuple)) else [self.dim_in] * n
+        dims_out = self.dim_out if isinstance(self.dim_out, (list, tuple)) else [self.dim_out] * n
+        res_counts = (
+            self.num_res_blocks if isinstance(self.num_res_blocks, (list, tuple)) else [self.num_res_blocks] * n
+        )
+        resampler_types = (
+            self.resamplers if isinstance(self.resamplers, (list, tuple)) else [self.resamplers] * (n - 1)
+        )
+
+        res_block_cls = nn.remat(ResidualConvBlock) if self.remat else ResidualConvBlock
+        resampler_cls = nn.remat(Resampler) if self.remat else Resampler
+
+        out_features: List[Optional[jax.Array]] = []
+        x = None
+        for i, dim in enumerate(self.dim_res_blocks):
+            feat = in_features[i] if i < len(in_features) else None
+            if dims_in[i] is not None and feat is not None:
+                feat = nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32, name=f"input_{i}")(feat)
+            if i == 0:
+                x = feat
+            elif feat is not None:
+                x = x + feat
+            for j in range(res_counts[i]):
+                x = res_block_cls(
+                    in_channels=dim,
+                    hidden_channels=self.dim_times_res_block_hidden * dim,
+                    activation=self.activation,
+                    in_norm=self.res_block_in_norm,
+                    hidden_norm=self.res_block_hidden_norm,
+                    dtype=self.dtype,
+                    name=f"res_{i}_{j}",
+                )(x)
+            if dims_out[i] is not None:
+                out_features.append(
+                    nn.Dense(dims_out[i], dtype=self.dtype, param_dtype=jnp.float32, name=f"output_{i}")(x)
+                )
+            else:
+                out_features.append(x)
+            if i < n - 1:
+                x = resampler_cls(
+                    in_channels=dim,
+                    out_channels=self.dim_res_blocks[i + 1],
+                    type_=resampler_types[i],
+                    dtype=self.dtype,
+                    name=f"resampler_{i}",
+                )(x)
+        return out_features
+
+
+class DINOv2Encoder(nn.Module):
+    """ViT encoder wrapper (reference modules.py:71-136): resize to the token
+    grid, ImageNet-normalize, collect intermediate layers, 1x1-project & sum.
+    """
+
+    backbone: str
+    intermediate_layers: Union[int, Sequence[int]]
+    dim_out: int
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def take_layers(self) -> Tuple[int, ...]:
+        cfg = VIT_ARCHS[self.backbone]
+        if isinstance(self.intermediate_layers, int):
+            return tuple(range(cfg.depth - self.intermediate_layers, cfg.depth))
+        return tuple(self.intermediate_layers)
+
+    @nn.compact
+    def __call__(self, image: jax.Array, token_rows: int, token_cols: int, return_class_token: bool = False):
+        """``image``: (B, H, W, 3) RGB in [0, 1], fp32. Returns
+        (B, token_rows, token_cols, dim_out) features [+ cls (B, D)]."""
+        cfg = VIT_ARCHS[self.backbone]
+        p = cfg.patch_size
+        # Resize + normalize in fp32 (the reference's autocast keeps these fp32).
+        image_14 = resize_2d(
+            image.astype(jnp.float32), (token_rows * p, token_cols * p), mode="bilinear", antialias=True
+        )
+        mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+        image_14 = (image_14 - mean) / std
+
+        features = DinoViT(config=cfg, dtype=self.dtype, remat=self.remat, name="backbone")(
+            image_14, self.take_layers
+        )
+
+        b = image.shape[0]
+        x = None
+        for i, (patches, _cls) in enumerate(features):
+            feat = patches.reshape(b, token_rows, token_cols, cfg.embed_dim)
+            proj = nn.Dense(self.dim_out, dtype=self.dtype, param_dtype=jnp.float32, name=f"proj_{i}")(feat)
+            x = proj if x is None else x + proj
+
+        if return_class_token:
+            return x, features[-1][1]
+        return x
+
+
+def make_level_uv(
+    base_h: int, base_w: int, num_levels: int, aspect_ratio: float, batch: int, dtype
+) -> List[jax.Array]:
+    """Per-level aspect-ratio UV conditioning maps (reference v2.py:153-160)."""
+    uvs = []
+    for level in range(num_levels):
+        uv = normalized_view_plane_uv(
+            width=base_w * 2 ** level, height=base_h * 2 ** level, aspect_ratio=aspect_ratio, dtype=dtype
+        )
+        uvs.append(jnp.broadcast_to(uv[None], (batch, *uv.shape)))
+    return uvs

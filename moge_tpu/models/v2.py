@@ -1,0 +1,271 @@
+"""MoGe-2: modular encoder/neck/heads monocular geometry model (TPU-native).
+
+Mirrors the public contract of reference moge/model/v2.py (same config schema,
+same output dict keys/shapes/coordinate conventions) with a TPU-first
+implementation: NHWC bf16 compute, the whole forward + fp32 post-processing
+(including focal/shift recovery) compiled into a single XLA program per input
+shape — no host round-trips.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from numbers import Number
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..ops.geometry import depth_map_to_point_map, intrinsics_from_focal_center
+from ..ops.resize import resize_2d
+from ..ops.solvers import recover_focal_shift
+from .modules import MLP, ConvStack, DINOv2Encoder, make_level_uv
+
+
+def remap_points(points: jax.Array, remap_output: str) -> jax.Array:
+    """Output remapping (reference v2.py:122-136)."""
+    if remap_output == "linear":
+        return points
+    if remap_output == "sinh":
+        return jnp.sinh(points)
+    if remap_output == "exp":
+        xy, z = points[..., :2], points[..., 2:]
+        z = jnp.exp(z)
+        return jnp.concatenate([xy * z, z], axis=-1)
+    if remap_output == "sinh_exp":
+        xy, z = points[..., :2], points[..., 2:]
+        return jnp.concatenate([jnp.sinh(xy), jnp.exp(z)], axis=-1)
+    raise ValueError(f"Invalid remap output type: {remap_output}")
+
+
+def base_token_grid(num_tokens: int, aspect_ratio: float) -> Tuple[int, int]:
+    """(base_h, base_w) from token budget (reference v2.py:143-147)."""
+    base_h = round((num_tokens / aspect_ratio) ** 0.5)
+    base_w = round((num_tokens * aspect_ratio) ** 0.5)
+    return base_h, base_w
+
+
+class MoGeV2(nn.Module):
+    """linen module: config-described assembly (reference v2.py:30-57).
+
+    Config dicts use the exact checkpoint schema so published `model_config`
+    blobs instantiate this module unchanged.
+    """
+
+    encoder: Dict[str, Any]
+    neck: Dict[str, Any]
+    points_head: Optional[Dict[str, Any]] = None
+    mask_head: Optional[Dict[str, Any]] = None
+    normal_head: Optional[Dict[str, Any]] = None
+    scale_head: Optional[Dict[str, Any]] = None
+    remap_output: str = "linear"
+    num_tokens_range: Sequence[int] = (1200, 3600)
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:
+        """``image``: (B, H, W, 3) RGB in [0,1] fp32; ``num_tokens`` static.
+
+        Returns dict with NHWC 'points' (B,H,W,3), 'normal', 'mask' (B,H,W),
+        'metric_scale' (B,) — whichever heads exist.
+        """
+        batch, img_h, img_w, _ = image.shape
+        aspect_ratio = img_w / img_h
+        base_h, base_w = base_token_grid(num_tokens, aspect_ratio)
+
+        features, cls_token = DINOv2Encoder(**self.encoder, dtype=self.dtype, remat=self.remat, name="encoder")(
+            image, base_h, base_w, return_class_token=True
+        )
+
+        # Per-level UV conditioning (reference v2.py:153-160).
+        uvs = make_level_uv(base_h, base_w, 5, aspect_ratio, batch, self.dtype)
+        in_features: List[Optional[jax.Array]] = [
+            jnp.concatenate([features, uvs[0]], axis=-1),
+            uvs[1], uvs[2], uvs[3], uvs[4],
+        ]
+
+        neck_features = ConvStack(**self.neck, dtype=self.dtype, remat=self.remat, name="neck")(in_features)
+
+        out: Dict[str, jax.Array] = {}
+        for head_name in ("points_head", "normal_head", "mask_head"):
+            head_cfg = getattr(self, head_name)
+            if head_cfg is None:
+                continue
+            pred = ConvStack(**head_cfg, dtype=self.dtype, remat=self.remat, name=head_name)(neck_features)[-1]
+            # Resize to the input resolution (reference v2.py:170).
+            pred = resize_2d(pred, (img_h, img_w), mode="bilinear", channel_last=True)
+            if head_name == "points_head":
+                out["points"] = remap_points(pred, self.remap_output)
+            elif head_name == "normal_head":
+                norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)
+                out["normal"] = pred / norm
+            else:
+                out["mask"] = jax.nn.sigmoid(pred[..., 0])
+        if self.scale_head is not None:
+            scale = MLP(**self.scale_head, dtype=self.dtype, name="scale_head")(cls_token)
+            out["metric_scale"] = jnp.exp(scale[..., 0])
+        return out
+
+
+def postprocess(
+    output: Dict[str, jax.Array],
+    aspect_ratio: float,
+    fov_x: Optional[jax.Array] = None,
+    force_projection: bool = True,
+    apply_mask: bool = True,
+    use_mask_for_solve: bool = True,
+    mask_threshold: float = 0.5,
+) -> Dict[str, jax.Array]:
+    """fp32 post-processing: camera recovery, depth, intrinsics, masking.
+
+    Mirrors reference v2.py:246-289 but runs fully on-device.
+    """
+    points = output.get("points")
+    normal = output.get("normal")
+    mask = output.get("mask")
+    metric_scale = output.get("metric_scale")
+
+    points = points.astype(jnp.float32) if points is not None else None
+    normal = normal.astype(jnp.float32) if normal is not None else None
+    mask = mask.astype(jnp.float32) if mask is not None else None
+    metric_scale = metric_scale.astype(jnp.float32) if metric_scale is not None else None
+
+    result: Dict[str, jax.Array] = {}
+    mask_binary = (mask > mask_threshold) if mask is not None else None
+
+    if points is not None:
+        solve_mask = mask_binary if use_mask_for_solve else None
+        if fov_x is None:
+            focal, shift = recover_focal_shift(points, solve_mask)
+        else:
+            fov = jnp.deg2rad(jnp.asarray(fov_x, dtype=jnp.float32))
+            focal = aspect_ratio / (1 + aspect_ratio ** 2) ** 0.5 / jnp.tan(fov / 2)
+            focal = jnp.broadcast_to(focal, points.shape[:-3])
+            _, shift = recover_focal_shift(points, solve_mask, focal=focal)
+        fx = focal / 2 * (1 + aspect_ratio ** 2) ** 0.5 / aspect_ratio
+        fy = focal / 2 * (1 + aspect_ratio ** 2) ** 0.5
+        intrinsics = intrinsics_from_focal_center(fx, fy, jnp.float32(0.5), jnp.float32(0.5))
+        points = points.at[..., 2].add(shift[..., None, None])
+        if mask_binary is not None:
+            mask_binary = mask_binary & (points[..., 2] > 0)
+        depth = points[..., 2]
+
+        if force_projection:
+            points = depth_map_to_point_map(depth, intrinsics)
+
+        if metric_scale is not None:
+            points = points * metric_scale[..., None, None, None]
+            depth = depth * metric_scale[..., None, None]
+
+        if apply_mask and mask_binary is not None:
+            points = jnp.where(mask_binary[..., None], points, jnp.inf)
+            depth = jnp.where(mask_binary, depth, jnp.inf)
+            if normal is not None:
+                normal = jnp.where(mask_binary[..., None], normal, 0.0)
+
+        result["points"] = points
+        result["depth"] = depth
+        result["intrinsics"] = intrinsics
+    if mask_binary is not None:
+        result["mask"] = mask_binary
+    if normal is not None:
+        result["normal"] = normal
+    return result
+
+
+class MoGeModel:
+    """User-facing MoGe-2 wrapper: holds (module, params), jits per shape.
+
+    API mirrors reference MoGeModel (v2.py:194-303): ``infer(image, ...)``
+    with the same kwargs and output dict keys.
+    """
+
+    version = "v2"
+
+    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16):
+        config = dict(config)
+        config.pop("model_version", None)
+        # Drop deprecated/unknown kwargs like the reference does (v2.py:42-43).
+        known = {
+            "encoder", "neck", "points_head", "mask_head", "normal_head",
+            "scale_head", "remap_output", "num_tokens_range",
+        }
+        config = {k: v for k, v in config.items() if k in known}
+        self.config = config
+        self.module = MoGeV2(**config, dtype=dtype)
+        self.params = params
+        self.num_tokens_range = config.get("num_tokens_range", [1200, 3600])
+        self._jit_cache: Dict[Any, Any] = {}
+
+    @classmethod
+    def from_pretrained(cls, path, model_kwargs: Optional[Dict[str, Any]] = None, dtype: Any = jnp.bfloat16):
+        from .io import load_checkpoint
+
+        config, params = load_checkpoint(path, version="v2")
+        if model_kwargs:
+            config.update(model_kwargs)
+        return cls(config, params, dtype=dtype)
+
+    def init_random(self, seed: int = 0, image_hw: Tuple[int, int] = (224, 224)) -> "MoGeModel":
+        """Initialize random params (for tests / training from scratch)."""
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, *image_hw, 3), jnp.float32)
+        self.params = self.module.init(rng, dummy, 1200)["params"]
+        return self
+
+    def forward(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:
+        return self.module.apply({"params": self.params}, image, num_tokens)
+
+    def _infer_fn(self, key):
+        (num_tokens, aspect_ratio, has_fov, force_projection, apply_mask) = key
+
+        @jax.jit
+        def fn(params, image, fov_x):
+            raw = self.module.apply({"params": params}, image, num_tokens)
+            return postprocess(
+                raw,
+                aspect_ratio=aspect_ratio,
+                fov_x=fov_x if has_fov else None,
+                force_projection=force_projection,
+                apply_mask=apply_mask,
+            )
+
+        return fn
+
+    def infer(
+        self,
+        image,
+        num_tokens: Optional[int] = None,
+        resolution_level: int = 9,
+        force_projection: bool = True,
+        apply_mask: bool = True,
+        fov_x: Optional[Union[Number, jax.Array]] = None,
+        use_fp16: bool = True,  # kept for API parity; dtype fixed at construction
+    ) -> Dict[str, jax.Array]:
+        """Single-call inference with camera recovery (reference v2.py:194-303)."""
+        image = jnp.asarray(image)
+        omit_batch_dim = image.ndim == 3
+        if omit_batch_dim:
+            image = image[None]
+        if image.shape[-1] != 3:  # accept NCHW for drop-in compatibility
+            image = jnp.moveaxis(image, -3, -1)
+        image = image.astype(jnp.float32)
+
+        h, w = image.shape[-3], image.shape[-2]
+        aspect_ratio = w / h
+        if num_tokens is None:
+            mn, mx = self.num_tokens_range
+            num_tokens = int(mn + (resolution_level / 9) * (mx - mn))
+
+        key = (num_tokens, aspect_ratio, fov_x is not None, force_projection, apply_mask, h, w)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._infer_fn(key[:5])
+        fov_arr = jnp.asarray(fov_x, dtype=jnp.float32) if fov_x is not None else jnp.float32(0)
+        out = self._jit_cache[key](self.params, image, fov_arr)
+        if omit_batch_dim:
+            out = {k: v[0] for k, v in out.items()}
+        return out

@@ -1,0 +1,54 @@
+"""Tests: torch-free .pt reader and checkpoint round trips."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from moge_tpu.utils.pt_loader import load_pt
+
+
+def test_load_pt_matches_torch(tmp_path):
+    torch.manual_seed(0)
+    obj = {
+        "model_config": {"a": 1, "nested": {"b": [1, 2, 3]}},
+        "model": {
+            "w_f32": torch.randn(4, 5),
+            "w_f16": torch.randn(3, 3).half(),
+            "w_bf16": torch.randn(2, 6).bfloat16(),
+            "w_i64": torch.arange(7),
+            "w_bool": torch.tensor([True, False, True]),
+            "scalar": torch.tensor(3.5),
+            "noncontig": torch.randn(6, 8).t(),
+        },
+    }
+    path = tmp_path / "model.pt"
+    torch.save(obj, path)
+
+    loaded = load_pt(path)
+    assert loaded["model_config"] == obj["model_config"]
+    for k, v in obj["model"].items():
+        got = loaded["model"][k]
+        want = v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
+        np.testing.assert_array_equal(np.asarray(got, dtype=want.dtype), want, err_msg=k)
+
+
+def test_load_pt_blocks_arbitrary_code(tmp_path):
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    path = tmp_path / "evil.pt"
+    # build a fake zipfile-format archive containing an unsafe pickle
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps(Evil()))
+    try:
+        load_pt(path)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised

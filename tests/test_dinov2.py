@@ -1,0 +1,66 @@
+"""Golden test: flax DinoViT vs the reference torch DINOv2 (random weights)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_utils import add_reference_to_path
+
+add_reference_to_path()
+
+from moge.model.dinov2.hub import backbones as ref_backbones  # noqa: E402
+
+from moge_tpu.models.dinov2 import VIT_ARCHS, DinoViT  # noqa: E402
+from moge_tpu.models.convert import convert_dinov2_backbone  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_vits():
+    torch.manual_seed(0)
+    model = ref_backbones.dinov2_vits14(pretrained=False)
+    model.eval()
+    return model
+
+
+def _run_ref(model, x_nchw, layers):
+    with torch.no_grad():
+        outs = model.get_intermediate_layers(torch.from_numpy(x_nchw), n=layers, return_class_token=True)
+    return [(p.numpy(), c.numpy()) for p, c in outs]
+
+
+def _run_jax(params, x_nchw, layers, h0, w0):
+    cfg = VIT_ARCHS["dinov2_vits14"]
+    vit = DinoViT(config=cfg, dtype=jnp.float32)
+    x = jnp.asarray(np.moveaxis(x_nchw, 1, -1))
+    outs = vit.apply({"params": params}, x, tuple(layers))
+    return [(np.asarray(p), np.asarray(c)) for p, c in outs]
+
+
+@pytest.mark.parametrize("h0,w0", [(37, 37), (30, 41)])
+def test_vits_intermediate_layers_match(ref_vits, h0, w0):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, h0 * 14, w0 * 14)).astype(np.float32)
+    layers = [2, 5, 8, 11]
+
+    ref_outs = _run_ref(ref_vits, x, layers)
+    params = convert_dinov2_backbone(ref_vits.state_dict())
+    got_outs = _run_jax(params, x, layers, h0, w0)
+
+    assert len(ref_outs) == len(got_outs) == 4
+    for li, ((rp, rc), (gp, gc)) in enumerate(zip(ref_outs, got_outs)):
+        assert gp.shape == rp.shape and gc.shape == rc.shape
+        np.testing.assert_allclose(gp, rp, rtol=2e-3, atol=2e-4, err_msg=f"patch tokens layer {layers[li]}")
+        np.testing.assert_allclose(gc, rc, rtol=2e-3, atol=2e-4, err_msg=f"cls token layer {layers[li]}")
+
+
+def test_pos_embed_interp_identity_at_native(ref_vits):
+    """At 37x37 (native grid) the pos-embed must pass through untouched."""
+    params = convert_dinov2_backbone(ref_vits.state_dict())
+    cfg = VIT_ARCHS["dinov2_vits14"]
+    vit = DinoViT(config=cfg)
+    pe = jnp.asarray(params["pos_embed"])
+    out = vit.interpolate_pos_encoding(pe, 37, 37)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
