@@ -155,6 +155,58 @@ def convert_moge2(checkpoint: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[s
     return config, params
 
 
+def convert_moge1(checkpoint: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Published MoGe-1 checkpoint {'model_config', 'model'} -> (config, flax params).
+
+    torch names (reference v1.py:61-142): head.projects.N (1x1),
+    head.upsample_blocks.N = Sequential(Sequential(ConvT, Conv), res...),
+    head.output_block.K = Sequential(Conv, res..., ReLU, Conv).
+    """
+    config = dict(checkpoint["model_config"])
+    sd = checkpoint["model"]
+
+    num_features = config.get("intermediate_layers", 4)
+    if isinstance(num_features, (list, tuple)):
+        num_features = len(num_features)
+    dim_upsample = config.get("dim_upsample", [256, 128, 128])
+    num_res_blocks = config.get("num_res_blocks", 1)
+    last_res_blocks = config.get("last_res_blocks", 0)
+    res_block_norm = config.get("res_block_norm", "group_norm")
+
+    head: Dict[str, Any] = {}
+    for i in range(num_features):
+        head[f"proj_{i}"] = _conv1x1(sd[f"head.projects.{i}.weight"], sd[f"head.projects.{i}.bias"])
+    for i in range(len(dim_upsample)):
+        pre = f"head.upsample_blocks.{i}."
+        stage: Dict[str, Any] = {
+            "deconv": {
+                "kernel": np.ascontiguousarray(_np(sd[pre + "0.0.weight"]).transpose(0, 2, 3, 1)),
+                "bias": _np(sd[pre + "0.0.bias"]),
+            },
+            "conv": {"conv": _conv(sd[pre + "0.1.weight"], sd[pre + "0.1.bias"])},
+        }
+        for j in range(num_res_blocks):
+            # v1 res block: in_norm GroupNorm(1) always, hidden norm per config
+            stage[f"res_{j}"] = _res_block(sd, f"{pre}{1 + j}.", "layer_norm", res_block_norm)
+        head[f"up_{i}"] = stage
+    for k in range(2):  # dim_out = [3, 1]
+        pre = f"head.output_block.{k}."
+        blockp: Dict[str, Any] = {
+            "conv_in": {"conv": _conv(sd[pre + "0.weight"], sd[pre + "0.bias"])},
+        }
+        for j in range(last_res_blocks):
+            blockp[f"res_{j}"] = _res_block(sd, f"{pre}{1 + j}.", "layer_norm", res_block_norm)
+        final_idx = 1 + last_res_blocks + 1
+        blockp["conv_out"] = {"conv": _conv(sd[pre + f"{final_idx}.weight"], sd[pre + f"{final_idx}.bias"])}
+        head[f"output_{k}"] = blockp
+
+    params = {
+        "backbone": convert_dinov2_backbone(sd, "backbone."),
+        "head": head,
+    }
+    return config, params
+
+
 def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
     """torch DINOv2 state_dict -> DinoViT flax params dict."""
     g = lambda k: sd[prefix + k]  # noqa: E731

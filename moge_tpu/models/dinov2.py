@@ -51,6 +51,8 @@ VIT_ARCHS = {
     "dinov2_vitb14": ViTConfig(embed_dim=768, depth=12, num_heads=12),
     "dinov2_vitl14": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
     "dinov2_vitg14": ViTConfig(embed_dim=1536, depth=40, num_heads=24, ffn="swiglu"),
+    # tiny arch for tests / multi-chip dryruns (not a published checkpoint)
+    "dinov2_vitt14": ViTConfig(embed_dim=192, depth=4, num_heads=3),
 }
 
 

@@ -101,8 +101,9 @@ class MoGeV2(nn.Module):
             if head_name == "points_head":
                 out["points"] = remap_points(pred, self.remap_output)
             elif head_name == "normal_head":
-                norm = jnp.maximum(jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)
-                out["normal"] = pred / norm
+                # eps-safe normalize (NaN-free gradient at 0, torch F.normalize semantics)
+                norm = jnp.sqrt(jnp.sum(jnp.square(pred), axis=-1, keepdims=True) + 1e-24)
+                out["normal"] = pred / jnp.maximum(norm, 1e-12)
             else:
                 out["mask"] = jax.nn.sigmoid(pred[..., 0])
         if self.scale_head is not None:

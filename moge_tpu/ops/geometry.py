@@ -180,10 +180,16 @@ def geometric_mean(x, w=None, axis=None, keepdims=False, eps: float = 1e-7):
     return jnp.exp(weighted_mean(jnp.log(x + eps), w, axis=axis, keepdims=keepdims, eps=eps))
 
 
+def safe_norm(x: jax.Array, axis: int = -1, keepdims: bool = False, eps: float = 1e-20) -> jax.Array:
+    """L2 norm with a finite gradient at 0 (torch's norm has subgradient 0
+    there; jnp.linalg.norm produces NaN — this matters for loss gradients)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims) + eps)
+
+
 def angle_diff_vec3(v1: jax.Array, v2: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Angle between 3-vectors via atan2 (reference geometry_torch.py:72-73)."""
     cross = jnp.cross(v1, v2)
-    return jnp.arctan2(jnp.linalg.norm(cross, axis=-1) + eps, jnp.sum(v1 * v2, axis=-1))
+    return jnp.arctan2(safe_norm(cross, axis=-1) + eps, jnp.sum(v1 * v2, axis=-1))
 
 
 def angle_between(v1: jax.Array, v2: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -199,6 +205,7 @@ def masked_nearest_resize(
     *images: jax.Array,
     mask: jax.Array,
     size: Tuple[int, int],
+    return_index: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Nearest-resize that snaps each output pixel to the nearest *valid* input pixel.
 
@@ -257,17 +264,12 @@ def masked_nearest_resize(
     out_mask = jnp.isfinite(jnp.min(dist_flat, axis=-1))
 
     kh, kw = len(offs_i), len(offs_j)
-    best_ki, best_kj = best // kw, best % kw
-    src_i = cand_i_j[jnp.arange(out_h)[:, None], best_ki]   # (..., out_h, out_w)? careful below
-    # cand_i_j is (out_h, kh); best_ki has shape (..., out_h, out_w)
-    src_i = jnp.take_along_axis(
-        jnp.broadcast_to(cand_i_j[:, None, :], (out_h, out_w, kh)),
-        best_ki[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
-    src_j = jnp.take_along_axis(
-        jnp.broadcast_to(cand_j_j[None, :, :], (out_h, out_w, kw)),
-        best_kj[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    best_ki, best_kj = best // kw, best % kw                # (..., out_h, out_w)
+    batch_shape = mask.shape[:-2]
+    cand_i_full = jnp.broadcast_to(cand_i_j[:, None, :], (*batch_shape, out_h, out_w, kh))
+    cand_j_full = jnp.broadcast_to(cand_j_j[None, :, :], (*batch_shape, out_h, out_w, kw))
+    src_i = jnp.take_along_axis(cand_i_full, best_ki[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    src_j = jnp.take_along_axis(cand_j_full, best_kj[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
     flat_idx = (src_i * width + src_j).astype(jnp.int32)    # (..., out_h, out_w)
 
@@ -285,6 +287,9 @@ def masked_nearest_resize(
             idx = flat_idx.reshape(*flat_idx.shape[: mask.ndim - 2], -1)[..., None]
             gathered = jnp.take_along_axis(spatial_flat, jnp.broadcast_to(idx, (*idx.shape[:-1], c)), axis=-2)
             outputs.append(gathered.reshape(*img.shape[: mask.ndim - 2], out_h, out_w, c))
+    if return_index:
+        # index maps usable as arr[..., src_i, src_j] on full-res arrays
+        return (*outputs, out_mask, (src_i, src_j))
     return (*outputs, out_mask)
 
 

@@ -1,0 +1,29 @@
+"""moge_tpu command-line interface (reference moge/scripts/cli.py:11-23)."""
+
+import click
+
+from .app import main as app_main
+from .infer import main as infer_main
+from .infer_baseline import main as infer_baseline_main
+from .infer_panorama import main as infer_panorama_main
+from .eval_baseline import main as eval_baseline_main
+from .train import main as train_main
+from .vis_data import main as vis_data_main
+
+
+@click.group(help="moge_tpu command line tools")
+def main():
+    pass
+
+
+main.add_command(app_main, name="app")
+main.add_command(infer_main, name="infer")
+main.add_command(infer_baseline_main, name="infer_baseline")
+main.add_command(infer_panorama_main, name="infer_panorama")
+main.add_command(eval_baseline_main, name="eval_baseline")
+main.add_command(train_main, name="train")
+main.add_command(vis_data_main, name="vis_data")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Sharded training step: loss dispatch, NaN-safe update, EMA.
+
+TPU-native counterpart of the reference train loop inner step
+(moge/scripts/train.py:269-357): per-instance loss dispatch by dataset
+label_type, NaN-grad skip, grad clipping, EMA — all compiled into one XLA
+program. Data parallelism comes from sharding the batch over the mesh 'dp'
+axis; parameters/optimizer state are sharded over the 'fsdp' axis (XLA
+inserts the all-gathers/reduce-scatters — the TPU equivalent of DDP's NCCL
+all-reduce, reference model/utils.py:41-49).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.geometry import depth_map_to_point_map
+from . import losses as L
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any]
+
+
+def init_train_state(params, tx: optax.GradientTransformation, enable_ema: bool = True) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if enable_ema else None,
+    )
+
+
+def _loss_weights_per_instance(loss_config: Dict[str, Dict], label_types: Sequence[str]):
+    """Per-instance weight for each loss entry name, from the config's
+    per-label_type dispatch tables (configs/train/v2.json:305-331)."""
+    entries: Dict[str, Dict] = {}
+    for lt, table in loss_config.items():
+        for name, spec in table.items():
+            if name not in entries:
+                entries[name] = spec
+    weights = {
+        name: jnp.asarray(
+            [loss_config.get(lt, {}).get(name, {}).get("weight", 0.0) for lt in label_types],
+            dtype=jnp.float32,
+        )
+        for name in entries
+    }
+    return entries, weights
+
+
+def compute_losses(
+    rng: jax.Array,
+    output: Dict[str, jax.Array],
+    batch: Dict[str, jax.Array],
+    loss_config: Dict[str, Dict],
+    label_types: Sequence[str],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Total scalar loss + metrics for a batch.
+
+    ``batch``: image (B,H,W,3), depth (B,H,W), normal (B,H,W,3) [optional],
+    depth_mask_fin/inf (B,H,W) bool, intrinsics (B,3,3), label_type_idx (B,)
+    int index into ``label_types``, is_metric (B,) bool.
+    """
+    entries, weights = _loss_weights_per_instance(loss_config, label_types)
+    lt_idx = batch["label_type_idx"]
+
+    gt_points = depth_map_to_point_map(batch["depth"], batch["intrinsics"])
+    gt_mask_fin = batch["depth_mask_fin"]
+    # invalid GT -> inf points so losses' isfinite masks pick them up
+    gt_points = jnp.where(gt_mask_fin[..., None], gt_points, jnp.inf)
+    fx, fy = batch["intrinsics"][..., 0, 0], batch["intrinsics"][..., 1, 1]
+    gt_focal = 1.0 / jnp.sqrt(1.0 / fx ** 2 + 1.0 / fy ** 2)  # diag-normalized (train.py:282)
+
+    pred_points = output.get("points")
+    pred_mask = output.get("mask")
+    pred_normal = output.get("normal")
+    pred_metric_scale = output.get("metric_scale")
+
+    total = jnp.zeros((), jnp.float32)
+    metrics: Dict[str, jax.Array] = {}
+    gt_metric_scale = None
+
+    # Global loss first (provides gt alignment scale for metric/local losses)
+    for name, spec in entries.items():
+        if spec["function"] == "affine_invariant_global_loss":
+            loss_b, misc, gt_metric_scale = L.affine_invariant_global_loss(
+                pred_points, gt_points, **spec.get("params", {})
+            )
+            w = weights[name][lt_idx]
+            total = total + jnp.mean(w * loss_b)
+            metrics[name] = jnp.mean(loss_b)
+            for k, v in misc.items():
+                metrics[f"{name}.{k}"] = v
+
+    for name, spec in entries.items():
+        fn = spec["function"]
+        params_kw = spec.get("params", {})
+        w = weights[name][lt_idx]
+        if fn == "affine_invariant_global_loss":
+            continue
+        if fn == "affine_invariant_local_loss":
+            rng, sub = jax.random.split(rng)
+            loss_b, misc = L.affine_invariant_local_loss(
+                sub, pred_points, gt_points, gt_focal, gt_metric_scale, **params_kw
+            )
+        elif fn == "normal_loss":
+            loss_b, misc = L.normal_loss(pred_points, gt_points)
+        elif fn == "edge_loss":
+            loss_b, misc = L.edge_loss(pred_points, gt_points)
+        elif fn == "normal_map_loss":
+            if pred_normal is None:
+                continue
+            gt_normal = jnp.where(batch["normal_mask"][..., None], batch["normal"], jnp.inf)
+            loss_b, misc = L.normal_map_loss(pred_normal, gt_normal)
+        elif fn == "mask_bce_loss":
+            loss_b, misc = L.mask_bce_loss(pred_mask, gt_mask_fin, batch["depth_mask_inf"])
+        elif fn == "mask_l2_loss":
+            loss_b, misc = L.mask_l2_loss(pred_mask, gt_mask_fin, batch["depth_mask_inf"])
+        elif fn == "metric_scale_loss":
+            if pred_metric_scale is None or gt_metric_scale is None:
+                continue
+            loss_b, misc = L.metric_scale_loss(pred_metric_scale, gt_metric_scale)
+            w = w * batch["is_metric"].astype(jnp.float32)
+        else:
+            raise ValueError(f"Undefined loss function: {fn}")
+        total = total + jnp.mean(w * loss_b)
+        metrics[name] = jnp.mean(loss_b)
+        for k, v in misc.items():
+            metrics[f"{name}.{k}"] = v
+
+    metrics["monitoring.std"] = pred_points.std() if pred_points is not None else jnp.zeros(())
+    metrics["total"] = total
+    return total, metrics
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    loss_config: Dict[str, Dict],
+    label_types: Sequence[str],
+    num_tokens: int,
+    ema_decay: float = 0.999,
+) -> Callable:
+    """Build the jittable train step (NaN-grad skip + clip semantics of
+    reference train.py:339-357; clipping lives inside ``tx``)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        def loss_fn(params):
+            output = module.apply({"params": params}, batch["image"], num_tokens)
+            return compute_losses(rng, output, batch, loss_config, label_types)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # NaN/Inf-grad skip (reference train.py:341-345)
+        grads_ok = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
+        safe_grads = jax.tree.map(lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(safe_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(grads_ok, new, old), new_params, state.params
+        )
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(grads_ok, new, old) if isinstance(new, jax.Array) else new,
+            new_opt_state, state.opt_state,
+        )
+
+        if state.ema_params is not None:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                state.ema_params, new_params,
+            )
+        else:
+            ema = None
+
+        metrics["grads_ok"] = grads_ok.astype(jnp.float32)
+        new_state = TrainState(state.step + 1, new_params, new_opt_state, ema)
+        return new_state, metrics
+
+    return train_step

@@ -71,6 +71,16 @@ def _np_masked_nearest_resize(*images, mask, size):
     return (*outputs, out_mask)
 
 
+def _np_masked_nearest_index(mask, size):
+    """(src_i, src_j) index maps for a 2D mask (mirrors moge_tpu return_index)."""
+    import jax.numpy as jnp
+
+    from moge_tpu.ops.geometry import masked_nearest_resize
+
+    _, idx = masked_nearest_resize(mask=jnp.asarray(mask), size=size, return_index=True)
+    return np.asarray(idx[0]), np.asarray(idx[1])
+
+
 def install_utils3d_stub():
     if "utils3d" in sys.modules:
         return sys.modules["utils3d"]
@@ -102,10 +112,23 @@ def install_utils3d_stub():
         y = (vv - cy) / fy * depth
         return torch.stack([x, y, depth], dim=-1)
 
-    def pt_masked_nearest_resize(*images, mask, size):
+    def pt_masked_nearest_resize(*images, mask, size, return_index=False):
         np_images = [img.numpy() for img in images]
         results = _np_masked_nearest_resize(*np_images, mask=mask.numpy(), size=size)
-        return tuple(torch.from_numpy(np.ascontiguousarray(r)) for r in results)
+        out = tuple(torch.from_numpy(np.ascontiguousarray(r)) for r in results)
+        if return_index:
+            idx = _np_masked_nearest_index(mask.numpy(), size)
+            return (*out, tuple(torch.from_numpy(i) for i in idx))
+        return out
+
+    def pt_sliding_window_2d(x, window_size, stride=1, dim=(-2, -1)):
+        # (..., H, W) -> (..., H-k+1, W-k+1, k, k) matching utils3d semantics
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        assert dim == (-2, -1) and stride == 1
+        return torch.from_numpy(
+            np.ascontiguousarray(sliding_window_view(x.numpy(), (window_size, window_size), axis=(-2, -1)))
+        )
 
     def pt_angle_between(v1, v2, eps: float = 1e-12):
         cross = torch.cross(v1, v2, dim=-1)
@@ -116,6 +139,7 @@ def install_utils3d_stub():
         depth_map_to_point_map=pt_depth_map_to_point_map,
         masked_nearest_resize=pt_masked_nearest_resize,
         angle_between=pt_angle_between,
+        sliding_window_2d=pt_sliding_window_2d,
     )
     mod.np = types.SimpleNamespace(
         masked_nearest_resize=_np_masked_nearest_resize,
