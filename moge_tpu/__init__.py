@@ -6,12 +6,12 @@ TPU-first design: bf16 MXU compute, jit-compiled batched post-processing
 (no host round-trips), pjit/shard_map data parallelism over device meshes.
 """
 
-import jax as _jax
-
-# Precision follows dtype: float32 matmuls must be true fp32 (the reference's
-# post-processing solves run in fp32; TPU's default bf16-matmul truncation
-# breaks them), while bf16 network matmuls still execute single-pass on the
-# MXU. This mirrors torch's allow_tf32=False default semantics.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on matmul precision: TPU's default matmul precision truncates fp32
+# operands to bf16, which breaks the fp32 post-processing solves. We do NOT
+# set jax_default_matmul_precision=highest globally — that silently forces
+# bf16 *network* matmuls into multi-pass fp32 emulation (measured ~5x slower
+# ViT). Instead every fp32-critical matmul in ops/ passes
+# precision=Precision.HIGHEST explicitly; bf16 MXU matmuls keep the fast
+# default (bf16 inputs already accumulate in fp32 on the MXU).
 
 __version__ = "0.1.0"

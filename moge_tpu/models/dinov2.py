@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.attention import scaled_dot_product_attention
 from ..ops.resize import resize_2d
 
 
@@ -78,24 +79,11 @@ class LayerNorm(nn.Module):
         return layer_norm_fp32(x, scale, bias, self.eps)
 
 
-def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Scaled dot-product attention, (B, N, H, D) layout.
-
-    bf16 matmuls on the MXU with fp32 logit accumulation + fp32 softmax
-    (torch SDPA numerics under fp16 autocast upcast softmax similarly).
-    """
-    head_dim = q.shape[-1]
-    scale = head_dim ** -0.5
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
-    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
-    return out
-
-
 class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = False  # pallas flash kernel (inference; fwd-only for now)
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +92,9 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(batch, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = sdpa(q, k, v).reshape(batch, n, self.dim)
+        # flag on -> auto (flash on TPU, XLA on CPU); flag off -> always XLA
+        out = scaled_dot_product_attention(q, k, v, use_flash=None if self.use_flash else False)
+        out = out.reshape(batch, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
@@ -142,11 +132,12 @@ class Block(nn.Module):
     use_layer_scale: bool = True
     ffn: str = "mlp"
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = LayerNorm(name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash, name="attn")(h)
         if self.use_layer_scale:
             gamma1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
             h = h * gamma1.astype(h.dtype)
@@ -171,6 +162,7 @@ class DinoViT(nn.Module):
     config: ViTConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     def interpolate_pos_encoding(self, pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
         """Bicubic pos-embed interpolation with the historical 0.1 offset kludge
@@ -254,6 +246,7 @@ class DinoViT(nn.Module):
                 use_layer_scale=cfg.init_values is not None,
                 ffn=cfg.ffn,
                 dtype=self.dtype,
+                use_flash=self.use_flash,
                 name=f"blocks_{i}",
             )(x)
             if i in take:

@@ -300,6 +300,7 @@ class DINOv2Encoder(nn.Module):
     dim_out: int
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     @property
     def take_layers(self) -> Tuple[int, ...]:
@@ -322,9 +323,9 @@ class DINOv2Encoder(nn.Module):
         std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
         image_14 = (image_14 - mean) / std
 
-        features = DinoViT(config=cfg, dtype=self.dtype, remat=self.remat, name="backbone")(
-            image_14, self.take_layers
-        )
+        features = DinoViT(
+            config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="backbone"
+        )(image_14, self.take_layers)
 
         b = image.shape[0]
         x = None

@@ -161,6 +161,7 @@ class MoGeV1(nn.Module):
     mask_threshold: float = 0.5
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     @property
     def take_layers(self) -> Tuple[int, ...]:
@@ -187,9 +188,9 @@ class MoGeV1(nn.Module):
         image_14 = resize_2d(image_norm, (patch_h * 14, patch_w * 14), mode="bilinear", antialias=True)
 
         cfg = VIT_ARCHS[self.encoder]
-        features = DinoViT(config=cfg, dtype=self.dtype, remat=self.remat, name="backbone")(
-            image_14, self.take_layers
-        )
+        features = DinoViT(
+            config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="backbone"
+        )(image_14, self.take_layers)
 
         out = MoGeV1Head(
             num_features=len(self.take_layers),
@@ -219,7 +220,7 @@ class MoGeModel:
 
     version = "v1"
 
-    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16):
+    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True):
         config = dict(config)
         config.pop("model_version", None)
         if "trained_area_range" in config:  # legacy kwarg (reference v1.py:169-171)
@@ -237,7 +238,7 @@ class MoGeModel:
         if config.get("remap_output") in (True,):
             config["remap_output"] = "exp"
         self.config = config
-        self.module = MoGeV1(**config, dtype=dtype)
+        self.module = MoGeV1(**config, dtype=dtype, use_flash=use_flash)
         self.params = params
         self.num_tokens_range = config.get("num_tokens_range", [1200, 2500])
         self.mask_threshold = config.get("mask_threshold", 0.5)

@@ -65,6 +65,7 @@ class MoGeV2(nn.Module):
     num_tokens_range: Sequence[int] = (1200, 3600)
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False  # pallas flash attention (inference fwd path)
 
     @nn.compact
     def __call__(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:
@@ -77,9 +78,9 @@ class MoGeV2(nn.Module):
         aspect_ratio = img_w / img_h
         base_h, base_w = base_token_grid(num_tokens, aspect_ratio)
 
-        features, cls_token = DINOv2Encoder(**self.encoder, dtype=self.dtype, remat=self.remat, name="encoder")(
-            image, base_h, base_w, return_class_token=True
-        )
+        features, cls_token = DINOv2Encoder(
+            **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="encoder"
+        )(image, base_h, base_w, return_class_token=True)
 
         # Per-level UV conditioning (reference v2.py:153-160).
         uvs = make_level_uv(base_h, base_w, 5, aspect_ratio, batch, self.dtype)
@@ -187,7 +188,7 @@ class MoGeModel:
 
     version = "v2"
 
-    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16):
+    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True):
         config = dict(config)
         config.pop("model_version", None)
         # Drop deprecated/unknown kwargs like the reference does (v2.py:42-43).
@@ -197,7 +198,7 @@ class MoGeModel:
         }
         config = {k: v for k, v in config.items() if k in known}
         self.config = config
-        self.module = MoGeV2(**config, dtype=dtype)
+        self.module = MoGeV2(**config, dtype=dtype, use_flash=use_flash)
         self.params = params
         self.num_tokens_range = config.get("num_tokens_range", [1200, 3600])
         self._jit_cache: Dict[Any, Any] = {}

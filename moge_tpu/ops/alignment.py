@@ -309,8 +309,9 @@ def align_affine_lstsq(x, y, w=None):
     w_sqrt = jnp.ones_like(x) if w is None else jnp.sqrt(w)
     A = jnp.stack([w_sqrt * x, jnp.ones_like(x)], axis=-1)
     b = (w_sqrt * y)[..., None]
-    # normal equations (2x2) — stable enough and batched
-    AtA = jnp.swapaxes(A, -2, -1) @ A
-    Atb = jnp.swapaxes(A, -2, -1) @ b
+    # normal equations (2x2), fp32-exact accumulation
+    hp = jax.lax.Precision.HIGHEST
+    AtA = jnp.matmul(jnp.swapaxes(A, -2, -1), A, precision=hp)
+    Atb = jnp.matmul(jnp.swapaxes(A, -2, -1), b, precision=hp)
     sol = jnp.linalg.solve(AtA + 1e-12 * jnp.eye(2, dtype=x.dtype), Atb)[..., 0]
     return sol[..., 0], sol[..., 1]

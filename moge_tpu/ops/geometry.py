@@ -144,9 +144,11 @@ def point_map_to_depth_legacy(points: jax.Array) -> Tuple[jax.Array, jax.Array, 
     uv_b = jnp.broadcast_to(uv, points[..., :2].shape)
     A = jnp.stack([points[..., :2], -uv_b], axis=-1).reshape(*points.shape[:-3], -1, 2)
 
-    M = jnp.swapaxes(A, -2, -1) @ A
+    hp = jax.lax.Precision.HIGHEST  # fp32 accumulations (TPU default truncates)
+    M = jnp.matmul(jnp.swapaxes(A, -2, -1), A, precision=hp)
     eye = jnp.eye(2, dtype=points.dtype)
-    solution = (jnp.linalg.inv(M + 1e-6 * eye) @ (jnp.swapaxes(A, -2, -1) @ b[..., None]))[..., 0]
+    Atb = jnp.matmul(jnp.swapaxes(A, -2, -1), b[..., None], precision=hp)
+    solution = jnp.matmul(jnp.linalg.inv(M + 1e-6 * eye), Atb, precision=hp)[..., 0]
     focal, shift = solution[..., 0], solution[..., 1]
 
     depth = points[..., 2] + shift[..., None, None]

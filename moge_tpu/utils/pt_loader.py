@@ -39,6 +39,11 @@ class _StorageType:
         self.name = name
 
 
+class _AttrDict(dict):
+    """dict accepting pickled instance state (torch state_dicts are
+    OrderedDicts carrying a `_metadata` attribute via pickle BUILD)."""
+
+
 class _SafeUnpickler(pickle.Unpickler):
     def __init__(self, file, zf: zipfile.ZipFile, archive_prefix: str):
         super().__init__(file)
@@ -48,7 +53,7 @@ class _SafeUnpickler(pickle.Unpickler):
 
     def find_class(self, module: str, name: str):
         if module == "collections" and name == "OrderedDict":
-            return dict
+            return _AttrDict
         if module == "torch._utils" and name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
             return _rebuild_tensor_v2
         if module == "torch" and name in _STORAGE_DTYPES:

@@ -1,0 +1,35 @@
+"""Tests: pallas flash attention vs XLA SDPA (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from moge_tpu.ops.attention import flash_attention, sdpa_xla
+
+
+@pytest.mark.parametrize("b,n,h,d", [(1, 300, 4, 64), (2, 513, 2, 64)])
+def test_flash_matches_sdpa_interpreted(b, n, h, d):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    ref = np.asarray(sdpa_xla(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v, q_block=128, k_block=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_flash_padding_mask_correct():
+    """Padded keys must not leak into the softmax: compare N vs N padded."""
+    rng = np.random.default_rng(1)
+    b, n, h, d = 1, 130, 2, 64  # forces 126 padded key positions at block 256
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    ref = np.asarray(sdpa_xla(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v, q_block=128, k_block=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)

@@ -33,6 +33,20 @@ def test_load_pt_matches_torch(tmp_path):
         np.testing.assert_array_equal(np.asarray(got, dtype=want.dtype), want, err_msg=k)
 
 
+def test_load_pt_real_state_dict(tmp_path):
+    """nn.Module.state_dict() is an OrderedDict with a _metadata attribute —
+    the torch-free reader must accept the pickled instance state."""
+    torch.manual_seed(0)
+    model = torch.nn.Sequential(torch.nn.Linear(4, 8), torch.nn.Conv2d(3, 6, 3))
+    path = tmp_path / "m.pt"
+    torch.save({"model_config": {"a": 1}, "model": model.state_dict()}, path)
+    loaded = load_pt(path)
+    sd = model.state_dict()
+    assert set(loaded["model"].keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(loaded["model"][k]), sd[k].numpy())
+
+
 def test_load_pt_blocks_arbitrary_code(tmp_path):
     import pickle
 
