@@ -15,6 +15,7 @@ is total/N with the one-off tunnel round-trip amortized.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,7 @@ import numpy as np
 
 
 def main():
+    profile_dir = os.environ.get("MOGE_PROFILE_DIR")  # optional jax.profiler trace
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +62,14 @@ def main():
         float(s)  # readback blocks until all n executions complete
         per_image.append((time.perf_counter() - t0) / n * 1e3)
     value = float(np.median(per_image))
+
+    if profile_dir:
+        from moge_tpu.utils.tools import profile_trace
+
+        with profile_trace(profile_dir):
+            for i in range(4):
+                s = infer_checksum(model.params, images[i])
+            float(s)
 
     baseline_ms = 60.0
     print(json.dumps({

@@ -407,6 +407,125 @@ def depth_map_to_normal_map(depth: jax.Array, intrinsics: jax.Array, mask: Optio
     return point_map_to_normal_map(points, mask=mask)
 
 
+def sliding_window_2d(x: jax.Array, window_size: int, stride: int = 1) -> jax.Array:
+    """(..., H, W) -> (..., H', W', k, k) sliding windows (utils3d equivalent).
+
+    Built from static shifts (gather-free, fuses well under jit).
+    """
+    k = window_size
+    h, w = x.shape[-2], x.shape[-1]
+    rows = []
+    for i in range(k):
+        cols = []
+        for j in range(k):
+            cols.append(
+                jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(x, i, i + h - k + 1, stride=stride, axis=x.ndim - 2),
+                    j, j + w - k + 1, stride=stride, axis=x.ndim - 1,
+                )
+            )
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def dilate_with_mask(
+    input: jax.Array, mask: jax.Array, filter: str = "mean", iterations: int = 1
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked morphological dilation: fill invalid pixels from valid 4-neighbors
+    by min/max/mean/median (reference geometry_torch.py:189-203). The mask
+    grows by the cross kernel each iteration."""
+    kernel = jnp.asarray(
+        [[False, True, False], [True, True, True], [False, True, False]], dtype=bool
+    )
+    for _ in range(iterations):
+        pad = [(0, 0)] * (input.ndim - 2) + [(1, 1), (1, 1)]
+        input_window = sliding_window_2d(jnp.pad(input, pad, constant_values=0), 3)
+        mask_window = kernel & sliding_window_2d(jnp.pad(mask, pad, constant_values=False), 3)
+        if filter == "min":
+            filled = jnp.min(jnp.where(mask_window, input_window, jnp.inf), axis=(-2, -1))
+        elif filter == "max":
+            filled = jnp.max(jnp.where(mask_window, input_window, -jnp.inf), axis=(-2, -1))
+        elif filter == "mean":
+            s = jnp.sum(jnp.where(mask_window, input_window, 0.0), axis=(-2, -1))
+            c = jnp.sum(mask_window, axis=(-2, -1))
+            filled = s / jnp.maximum(c, 1)
+        elif filter == "median":
+            # torch nanmedian picks the LOWER middle element (not the mean of two)
+            vals = jnp.where(mask_window, input_window, jnp.inf).reshape(*input.shape, 9)
+            vals = jnp.sort(vals, axis=-1)
+            count = jnp.sum(mask_window, axis=(-2, -1))
+            idx = jnp.maximum((count - 1) // 2, 0)
+            filled = jnp.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
+        else:
+            raise ValueError(f"Unsupported filter: {filter}")
+        input = jnp.where(mask, input, filled)
+        mask = jnp.any(mask_window, axis=(-2, -1))
+    return input, mask
+
+
+def refine_depth_with_normal(
+    depth: jax.Array,
+    normal: jax.Array,
+    intrinsics: jax.Array,
+    iterations: int = 10,
+    damp: float = 1e-3,
+    eps: float = 1e-12,
+    kernel_size: int = 5,
+) -> jax.Array:
+    """Normal-guided log-depth Jacobi refinement (reference geometry_torch.py:206-233).
+
+    Sharpens a depth map so its finite-difference gradients agree with the
+    predicted normal map; runs as a fixed-iteration fori_loop.
+    """
+    height, width = depth.shape[-2:]
+    radius = kernel_size // 2
+    dtype = depth.dtype
+
+    du = np.linspace(-radius / width, radius / width, kernel_size)
+    dv = np.linspace(-radius / height, radius / height, kernel_size)
+    duu, dvv = np.meshgrid(du, dv, indexing="xy")
+    duv = jnp.asarray(np.stack([duu, dvv], axis=-1), dtype=dtype)  # (k, k, 2)
+
+    log_depth = jnp.log(jnp.maximum(depth, eps))
+    log_depth_diff = sliding_window_2d(log_depth, kernel_size) - log_depth[
+        ..., radius:-radius, radius:-radius, None, None
+    ]
+    duv_norm = jnp.maximum(safe_norm(duv, axis=-1), eps)  # (k, k)
+    weight = jnp.exp(-jnp.square(log_depth_diff / duv_norm / 10))
+    tot_weight = jnp.maximum(weight.sum(axis=(-2, -1)), eps)
+
+    uv = uv_map(height, width, dtype=dtype)
+    K_inv = jnp.linalg.inv(intrinsics)
+
+    # per-pixel log-depth gradient implied by the normal (reference :222-223)
+    n_xy = normal[..., None, :2]  # (..., H, W, 1, 2)
+    A = K_inv[..., None, None, :2, :2]
+    num = -(n_xy @ A)[..., 0, :]  # (..., H, W, 2)
+    den = (normal[..., None, 2:] + n_xy @ (A @ uv[..., :, None] + K_inv[..., None, None, :2, 2:]))[..., 0, 0]
+    grad = num / den[..., None]
+
+    grad_windows = jnp.stack(
+        [sliding_window_2d(grad[..., 0], kernel_size), sliding_window_2d(grad[..., 1], kernel_size)],
+        axis=-3,
+    )  # (..., H', W', 2, k, k)
+    grad_center = grad[..., radius:-radius, radius:-radius, :, None, None]
+    duv_t = jnp.moveaxis(duv, -1, 0)  # (2, k, k)
+    laplacian = (weight * ((grad_windows + grad_center) * (duv_t / 2)).sum(axis=-3)).sum(axis=(-2, -1))
+    laplacian = jnp.clip(laplacian, -0.1, 0.1)
+
+    inner = (slice(None),) * (depth.ndim - 2) + (slice(radius, -radius), slice(radius, -radius))
+
+    def body(_, log_refine):
+        neighborhood = (weight * sliding_window_2d(log_refine, kernel_size)).sum(axis=(-2, -1))
+        update = 0.1 * log_refine[inner] + 0.9 * (
+            damp * log_depth[inner] - laplacian + neighborhood
+        ) / (tot_weight + damp)
+        return log_refine.at[inner].set(update)
+
+    log_depth_refine = jax.lax.fori_loop(0, iterations, body, log_depth)
+    return jnp.exp(log_depth_refine)
+
+
 def gaussian_blur_2d(x: jax.Array, kernel_size: int, sigma: float) -> jax.Array:
     """Replicate-padded gaussian blur over (..., H, W) (reference geometry_torch.py:55-61)."""
     half = kernel_size // 2

@@ -30,8 +30,10 @@ import click
 @click.option("--seed", type=int, default=0)
 @click.option("--num_tokens_quantum", type=int, default=100, help="Bucket size for random per-step num_tokens.")
 @click.option("--image_size_quantum", type=int, default=32, help="Bucket (pixel multiple) for sampled image sizes.")
+@click.option("--vis_every", type=int, default=0, help="Dump GT-vs-pred depth visualizations every N steps (0 = off).")
 def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps, num_iterations,
-         save_every, log_every, checkpoint_arg, enable_ema, fsdp, seed, num_tokens_quantum, image_size_quantum):
+         save_every, log_every, checkpoint_arg, enable_ema, fsdp, seed, num_tokens_quantum, image_size_quantum,
+         vis_every):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -155,6 +157,26 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
                 (workspace / "metrics.jsonl").open("a").write(json.dumps({"step": i_step, **avg}) + "\n")
                 records = []
                 t_start = time.time()
+
+            # Periodic GT-vs-pred visualization dumps (reference train.py:426-454)
+            if vis_every and i_step % vis_every == 0:
+                import cv2
+
+                from ..utils.vis import colorize_depth
+
+                out_dir = workspace / "vis" / str(i_step)
+                out_dir.mkdir(parents=True, exist_ok=True)
+                fwd = model.module.apply({"params": state.params}, batch["image"], num_tokens)
+                pred_z = np.asarray(fwd["points"][..., 2].astype(jnp.float32))
+                gt_depth = np.asarray(batch["depth"])
+                images = np.asarray(batch["image"])
+                for bi in range(min(4, images.shape[0])):
+                    cv2.imwrite(str(out_dir / f"{bi}_image.jpg"),
+                                cv2.cvtColor((images[bi] * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+                    cv2.imwrite(str(out_dir / f"{bi}_pred.png"),
+                                cv2.cvtColor(colorize_depth(pred_z[bi]), cv2.COLOR_RGB2BGR))
+                    cv2.imwrite(str(out_dir / f"{bi}_gt.png"),
+                                cv2.cvtColor(colorize_depth(gt_depth[bi]), cv2.COLOR_RGB2BGR))
 
             if i_step > 0 and (i_step % save_every == 0 or i_step == num_iterations - 1):
                 out = ckpt_dir / str(i_step)

@@ -108,6 +108,31 @@ class timeit:
         return cls._history[name]
 
 
+class profile_trace:
+    """jax.profiler trace context (SURVEY aux #1: the reference only has
+    timeit; this adds real device traces viewable in TensorBoard/Perfetto).
+
+    with profile_trace("/tmp/moge_trace"):
+        model.infer(image)
+    """
+
+    def __init__(self, log_dir: Union[str, Path]):
+        self.log_dir = str(log_dir)
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {self.log_dir}")
+        return False
+
+
 def import_file_as_module(path: Union[str, Path], module_name: Optional[str] = None):
     """Import a python file as a module (reference tools.py:285-288)."""
     path = Path(path)

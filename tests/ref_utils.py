@@ -121,14 +121,24 @@ def install_utils3d_stub():
             return (*out, tuple(torch.from_numpy(i) for i in idx))
         return out
 
-    def pt_sliding_window_2d(x, window_size, stride=1, dim=(-2, -1)):
-        # (..., H, W) -> (..., H-k+1, W-k+1, k, k) matching utils3d semantics
+    def pt_sliding_window(x, window_size, stride=1, dim=(-2, -1)):
+        # windows over `dim`, window dims appended at the end (utils3d semantics)
         from numpy.lib.stride_tricks import sliding_window_view
 
-        assert dim == (-2, -1) and stride == 1
-        return torch.from_numpy(
-            np.ascontiguousarray(sliding_window_view(x.numpy(), (window_size, window_size), axis=(-2, -1)))
-        )
+        assert stride == 1
+        axes = tuple(d % x.ndim for d in dim)
+        k = window_size if isinstance(window_size, tuple) else (window_size,) * len(axes)
+        return torch.from_numpy(np.ascontiguousarray(sliding_window_view(x.numpy(), k, axis=axes)))
+
+    def pt_sliding_window_2d(x, window_size, stride=1, dim=(-2, -1)):
+        return pt_sliding_window(x, window_size, stride, dim)
+
+    def pt_uv_map(size, device=None, dtype=None):
+        h, w = size if isinstance(size, (tuple, list)) else (size, size)
+        u = (torch.arange(w, dtype=dtype or torch.float32) + 0.5) / w
+        v = (torch.arange(h, dtype=dtype or torch.float32) + 0.5) / h
+        uu, vv = torch.meshgrid(u, v, indexing="xy")
+        return torch.stack([uu, vv], dim=-1)
 
     def pt_angle_between(v1, v2, eps: float = 1e-12):
         cross = torch.cross(v1, v2, dim=-1)
@@ -139,7 +149,9 @@ def install_utils3d_stub():
         depth_map_to_point_map=pt_depth_map_to_point_map,
         masked_nearest_resize=pt_masked_nearest_resize,
         angle_between=pt_angle_between,
+        sliding_window=pt_sliding_window,
         sliding_window_2d=pt_sliding_window_2d,
+        uv_map=pt_uv_map,
     )
     mod.np = types.SimpleNamespace(
         masked_nearest_resize=_np_masked_nearest_resize,

@@ -64,3 +64,32 @@ def test_pos_embed_interp_identity_at_native(ref_vits):
     pe = jnp.asarray(params["pos_embed"])
     out = vit.interpolate_pos_encoding(pe, 37, 37)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
+
+
+def test_swiglu_arch_matches():
+    """vit_giant2-style SwiGLUFFNFused blocks (tiny dims for speed)."""
+    import torch as _torch
+
+    from moge.model.dinov2.models.vision_transformer import DinoVisionTransformer
+
+    from moge_tpu.models.dinov2 import DinoViT, ViTConfig
+
+    _torch.manual_seed(1)
+    ref = DinoVisionTransformer(
+        img_size=518, patch_size=14, embed_dim=64, depth=2, num_heads=2,
+        init_values=1.0, ffn_layer="swiglufused", block_chunks=0,
+        interpolate_offset=0.1,
+    )
+    ref.eval()
+    cfg = ViTConfig(embed_dim=64, depth=2, num_heads=2, ffn="swiglu")
+    params = convert_dinov2_backbone(ref.state_dict())
+    vit = DinoViT(config=cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 14 * 8, 14 * 9)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.get_intermediate_layers(torch.from_numpy(x), n=[0, 1], return_class_token=True)
+    got_out = vit.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1)), (0, 1))
+    for (rp, rc), (gp, gc) in zip(ref_out, got_out):
+        np.testing.assert_allclose(np.asarray(gp), rp.numpy(), rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gc), rc.numpy(), rtol=2e-3, atol=2e-4)

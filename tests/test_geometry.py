@@ -101,3 +101,44 @@ def test_masked_nearest_resize_against_numpy_stub():
     got_pts, got_mask = geo.masked_nearest_resize(jnp.asarray(pts), mask=jnp.asarray(mask), size=(12, 16))
     np.testing.assert_array_equal(np.asarray(got_mask), ref_mask)
     np.testing.assert_allclose(np.asarray(got_pts)[ref_mask], ref_pts[ref_mask], rtol=1e-6)
+
+
+def test_sliding_window_2d():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 10, 12)).astype(np.float32)
+    ref = ref_geo.utils3d.pt.sliding_window_2d(torch.from_numpy(x), window_size=3, stride=1, dim=(-2, -1)).numpy()
+    got = np.asarray(geo.sliding_window_2d(jnp.asarray(x), 3))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("filt", ["mean", "median"])
+def test_dilate_with_mask(filt):
+    rng = np.random.default_rng(8)
+    x = rng.uniform(1, 5, (12, 14)).astype(np.float32)
+    mask = rng.uniform(0, 1, (12, 14)) > 0.4
+    ref_out, ref_mask = ref_geo.dilate_with_mask(
+        torch.from_numpy(x), torch.from_numpy(mask), filter=filt, iterations=2
+    )
+    got_out, got_mask = geo.dilate_with_mask(jnp.asarray(x), jnp.asarray(mask), filter=filt, iterations=2)
+    np.testing.assert_array_equal(np.asarray(got_mask), ref_mask.numpy())
+    both = np.asarray(got_mask) & mask
+    valid = np.asarray(got_mask)
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(got_out))[valid], np.nan_to_num(ref_out.numpy())[valid], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_refine_depth_with_normal():
+    rng = np.random.default_rng(9)
+    h, w = 20, 24
+    depth = rng.uniform(1, 4, (h, w)).astype(np.float32)
+    normal = rng.standard_normal((h, w, 3)).astype(np.float32)
+    normal[..., 2] -= 2.0  # face the camera
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    K = np.asarray(geo.intrinsics_from_focal_center(1.0, 1.2, 0.5, 0.5), np.float32)
+
+    ref = ref_geo.refine_depth_with_normal(
+        torch.from_numpy(depth.copy()), torch.from_numpy(normal), torch.from_numpy(K)
+    ).numpy()
+    got = np.asarray(geo.refine_depth_with_normal(jnp.asarray(depth), jnp.asarray(normal), jnp.asarray(K)))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
