@@ -310,15 +310,23 @@ class DINOv2Encoder(nn.Module):
         return tuple(self.intermediate_layers)
 
     @nn.compact
-    def __call__(self, image: jax.Array, token_rows: int, token_cols: int, return_class_token: bool = False):
+    def __call__(
+        self, image: jax.Array, token_rows: int, token_cols: int, return_class_token: bool = False,
+        pre_resized: bool = False,
+    ):
         """``image``: (B, H, W, 3) RGB in [0, 1], fp32. Returns
-        (B, token_rows, token_cols, dim_out) features [+ cls (B, D)]."""
+        (B, token_rows, token_cols, dim_out) features [+ cls (B, D)].
+        ``pre_resized``: input is already (14*rows, 14*cols) — lets callers
+        hoist the resolution-dependent resize out of this program."""
         cfg = VIT_ARCHS[self.backbone]
         p = cfg.patch_size
         # Resize + normalize in fp32 (the reference's autocast keeps these fp32).
-        image_14 = resize_2d(
-            image.astype(jnp.float32), (token_rows * p, token_cols * p), mode="bilinear", antialias=True
-        )
+        if pre_resized:
+            image_14 = image.astype(jnp.float32)
+        else:
+            image_14 = resize_2d(
+                image.astype(jnp.float32), (token_rows * p, token_cols * p), mode="bilinear", antialias=True
+            )
         mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
         std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
         image_14 = (image_14 - mean) / std

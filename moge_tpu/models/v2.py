@@ -67,7 +67,59 @@ class MoGeV2(nn.Module):
     remat: bool = False
     use_flash: bool = False  # pallas flash attention (inference fwd path)
 
-    @nn.compact
+    def setup(self):
+        self.encoder_module = DINOv2Encoder(
+            **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="encoder"
+        )
+        self.neck_module = ConvStack(**self.neck, dtype=self.dtype, remat=self.remat, name="neck")
+        for head_name in ("points_head", "normal_head", "mask_head"):
+            cfg = getattr(self, head_name)
+            if cfg is not None:
+                setattr(self, head_name + "_module",
+                        ConvStack(**cfg, dtype=self.dtype, remat=self.remat, name=head_name))
+        if self.scale_head is not None:
+            self.scale_head_module = MLP(**self.scale_head, dtype=self.dtype, name="scale_head")
+
+    def decode(
+        self, image_14: jax.Array, base_h: int, base_w: int, aspect_ratio: float, pre_resized: bool = True
+    ) -> Dict[str, jax.Array]:
+        """Resolution-independent core: encoder + neck + heads at decoder
+        resolution (no output resize/remap). ``image_14``: (B, 14*bh, 14*bw, 3)
+        when ``pre_resized``; otherwise any (B, H, W, 3) is resized inside.
+
+        Returns raw maps: 'points_raw'/'normal_raw' (B, 16bh, 16bw, 3),
+        'mask_raw' logits (B, 16bh, 16bw, 1), 'metric_scale' (B,).
+        This split lets the expensive program be jitted per token grid while
+        the per-resolution epilogue compiles in seconds.
+        """
+        batch = image_14.shape[0]
+
+        features, cls_token = self.encoder_module(
+            image_14, base_h, base_w, return_class_token=True, pre_resized=pre_resized
+        )
+
+        # Per-level UV conditioning (reference v2.py:153-160).
+        uvs = make_level_uv(base_h, base_w, 5, aspect_ratio, batch, self.dtype)
+        in_features: List[Optional[jax.Array]] = [
+            jnp.concatenate([features, uvs[0]], axis=-1),
+            uvs[1], uvs[2], uvs[3], uvs[4],
+        ]
+        neck_features = self.neck_module(in_features)
+
+        out: Dict[str, jax.Array] = {}
+        for head_name in ("points_head", "normal_head", "mask_head"):
+            if getattr(self, head_name) is None:
+                continue
+            head = getattr(self, head_name + "_module")
+            out[head_name.replace("_head", "_raw")] = head(neck_features)[-1]
+        if self.scale_head is not None:
+            scale = self.scale_head_module(cls_token)
+            out["metric_scale"] = jnp.exp(scale[..., 0])
+        return out
+
+    def epilogue(self, raw: Dict[str, jax.Array], img_h: int, img_w: int) -> Dict[str, jax.Array]:
+        return apply_epilogue(raw, img_h, img_w, self.remap_output)
+
     def __call__(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:
         """``image``: (B, H, W, 3) RGB in [0,1] fp32; ``num_tokens`` static.
 
@@ -77,40 +129,28 @@ class MoGeV2(nn.Module):
         batch, img_h, img_w, _ = image.shape
         aspect_ratio = img_w / img_h
         base_h, base_w = base_token_grid(num_tokens, aspect_ratio)
+        raw = self.decode(image, base_h, base_w, aspect_ratio, pre_resized=False)
+        return self.epilogue(raw, img_h, img_w)
 
-        features, cls_token = DINOv2Encoder(
-            **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="encoder"
-        )(image, base_h, base_w, return_class_token=True)
 
-        # Per-level UV conditioning (reference v2.py:153-160).
-        uvs = make_level_uv(base_h, base_w, 5, aspect_ratio, batch, self.dtype)
-        in_features: List[Optional[jax.Array]] = [
-            jnp.concatenate([features, uvs[0]], axis=-1),
-            uvs[1], uvs[2], uvs[3], uvs[4],
-        ]
-
-        neck_features = ConvStack(**self.neck, dtype=self.dtype, remat=self.remat, name="neck")(in_features)
-
-        out: Dict[str, jax.Array] = {}
-        for head_name in ("points_head", "normal_head", "mask_head"):
-            head_cfg = getattr(self, head_name)
-            if head_cfg is None:
-                continue
-            pred = ConvStack(**head_cfg, dtype=self.dtype, remat=self.remat, name=head_name)(neck_features)[-1]
-            # Resize to the input resolution (reference v2.py:170).
-            pred = resize_2d(pred, (img_h, img_w), mode="bilinear", channel_last=True)
-            if head_name == "points_head":
-                out["points"] = remap_points(pred, self.remap_output)
-            elif head_name == "normal_head":
-                # eps-safe normalize (NaN-free gradient at 0, torch F.normalize semantics)
-                norm = jnp.sqrt(jnp.sum(jnp.square(pred), axis=-1, keepdims=True) + 1e-24)
-                out["normal"] = pred / jnp.maximum(norm, 1e-12)
-            else:
-                out["mask"] = jax.nn.sigmoid(pred[..., 0])
-        if self.scale_head is not None:
-            scale = MLP(**self.scale_head, dtype=self.dtype, name="scale_head")(cls_token)
-            out["metric_scale"] = jnp.exp(scale[..., 0])
-        return out
+def apply_epilogue(raw: Dict[str, jax.Array], img_h: int, img_w: int, remap_output: str) -> Dict[str, jax.Array]:
+    """Per-resolution epilogue: bilinear resize to (H, W) + remap/normalize/
+    sigmoid (reference v2.py:170-182). Parameter-free; cheap to compile."""
+    out: Dict[str, jax.Array] = {}
+    if "points_raw" in raw:
+        pred = resize_2d(raw["points_raw"], (img_h, img_w), mode="bilinear", channel_last=True)
+        out["points"] = remap_points(pred, remap_output)
+    if "normal_raw" in raw:
+        pred = resize_2d(raw["normal_raw"], (img_h, img_w), mode="bilinear", channel_last=True)
+        # eps-safe normalize (NaN-free gradient at 0, torch F.normalize semantics)
+        norm = jnp.sqrt(jnp.sum(jnp.square(pred), axis=-1, keepdims=True) + 1e-24)
+        out["normal"] = pred / jnp.maximum(norm, 1e-12)
+    if "mask_raw" in raw:
+        pred = resize_2d(raw["mask_raw"], (img_h, img_w), mode="bilinear", channel_last=True)
+        out["mask"] = jax.nn.sigmoid(pred[..., 0])
+    if "metric_scale" in raw:
+        out["metric_scale"] = raw["metric_scale"]
+    return out
 
 
 def postprocess(
@@ -222,21 +262,49 @@ class MoGeModel:
     def forward(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:
         return self.module.apply({"params": self.params}, image, num_tokens)
 
-    def _infer_fn(self, key):
-        (num_tokens, aspect_ratio, has_fov, force_projection, apply_mask) = key
+    # ---- infer program cache: the expensive decode program is keyed only by
+    # (base_h, base_w, aspect, batch); the per-resolution resize-in and
+    # epilogue+postprocess programs compile in seconds, so new input sizes of
+    # a known aspect/token budget don't pay the multi-minute model compile.
 
-        @jax.jit
-        def fn(params, image, fov_x):
-            raw = self.module.apply({"params": params}, image, num_tokens)
-            return postprocess(
-                raw,
-                aspect_ratio=aspect_ratio,
-                fov_x=fov_x if has_fov else None,
-                force_projection=force_projection,
-                apply_mask=apply_mask,
+    def _decode_fn(self, base_h: int, base_w: int, aspect_ratio: float):
+        key = ("decode", base_h, base_w, aspect_ratio)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda params, image_14: self.module.apply(
+                    {"params": params}, image_14, base_h, base_w, aspect_ratio, True,
+                    method=MoGeV2.decode,
+                )
             )
+        return self._jit_cache[key]
 
-        return fn
+    def _resize_in_fn(self, base_h: int, base_w: int):
+        key = ("resize_in", base_h, base_w)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda image: resize_2d(image, (base_h * 14, base_w * 14), mode="bilinear", antialias=True)
+            )
+        return self._jit_cache[key]
+
+    def _post_fn(self, img_h: int, img_w: int, aspect_ratio: float, has_fov: bool,
+                 force_projection: bool, apply_mask: bool):
+        key = ("post", img_h, img_w, aspect_ratio, has_fov, force_projection, apply_mask)
+        if key not in self._jit_cache:
+            remap = self.config.get("remap_output", "linear")
+
+            @jax.jit
+            def fn(raw, fov_x):
+                full = apply_epilogue(raw, img_h, img_w, remap)
+                return postprocess(
+                    full,
+                    aspect_ratio=aspect_ratio,
+                    fov_x=fov_x if has_fov else None,
+                    force_projection=force_projection,
+                    apply_mask=apply_mask,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
 
     def infer(
         self,
@@ -262,12 +330,12 @@ class MoGeModel:
         if num_tokens is None:
             mn, mx = self.num_tokens_range
             num_tokens = int(mn + (resolution_level / 9) * (mx - mn))
+        base_h, base_w = base_token_grid(num_tokens, aspect_ratio)
 
-        key = (num_tokens, aspect_ratio, fov_x is not None, force_projection, apply_mask, h, w)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._infer_fn(key[:5])
+        image_14 = self._resize_in_fn(base_h, base_w)(image)
+        raw = self._decode_fn(base_h, base_w, aspect_ratio)(self.params, image_14)
         fov_arr = jnp.asarray(fov_x, dtype=jnp.float32) if fov_x is not None else jnp.float32(0)
-        out = self._jit_cache[key](self.params, image, fov_arr)
+        out = self._post_fn(h, w, aspect_ratio, fov_x is not None, force_projection, apply_mask)(raw, fov_arr)
         if omit_batch_dim:
             out = {k: v[0] for k, v in out.items()}
         return out
