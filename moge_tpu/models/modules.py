@@ -81,7 +81,13 @@ class Norm2d(nn.Module):
 
 
 class Conv2d(nn.Module):
-    """NHWC conv with replicate padding (torch padding_mode='replicate')."""
+    """NHWC conv with replicate padding (torch padding_mode='replicate').
+
+    NOTE: a shifted-matmul lowering for thin-channel convs was tried and
+    measured SLOWER end-to-end (32 vs 25 ms ViT-L infer) despite winning in
+    isolated microbenches — XLA's fused conv scheduling wins inside the real
+    program. Keep the plain conv.
+    """
 
     features: int
     kernel_size: int = 3

@@ -256,7 +256,8 @@ class MoGeModel:
     def init_random(self, seed: int = 0, image_hw: Tuple[int, int] = (224, 224)) -> "MoGeModel":
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, *image_hw, 3), jnp.float32)
-        self.params = self.module.init(rng, dummy, 1200)["params"]
+        # jit the init: eager linen init dispatches thousands of tiny ops
+        self.params = jax.jit(self.module.init, static_argnums=(2,))(rng, dummy, 1200)["params"]
         return self
 
     def forward(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:

@@ -238,10 +238,19 @@ class MoGeModel:
         }
         config = {k: v for k, v in config.items() if k in known}
         self.config = config
-        self.module = MoGeV2(**config, dtype=dtype, use_flash=use_flash)
+        self.dtype = dtype
+        self.use_flash = use_flash
+        self._modules: Dict[Any, MoGeV2] = {}
+        self.module = self._module_for(dtype)  # default-compute module
         self.params = params
         self.num_tokens_range = config.get("num_tokens_range", [1200, 3600])
         self._jit_cache: Dict[Any, Any] = {}
+
+    def _module_for(self, dtype) -> MoGeV2:
+        key = jnp.dtype(dtype).name
+        if key not in self._modules:
+            self._modules[key] = MoGeV2(**self.config, dtype=dtype, use_flash=self.use_flash)
+        return self._modules[key]
 
     @classmethod
     def from_pretrained(cls, path, model_kwargs: Optional[Dict[str, Any]] = None, dtype: Any = jnp.bfloat16):
@@ -256,7 +265,8 @@ class MoGeModel:
         """Initialize random params (for tests / training from scratch)."""
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, *image_hw, 3), jnp.float32)
-        self.params = self.module.init(rng, dummy, 1200)["params"]
+        # jit the init: eager linen init dispatches thousands of tiny ops
+        self.params = jax.jit(self.module.init, static_argnums=(2,))(rng, dummy, 1200)["params"]
         return self
 
     def forward(self, image: jax.Array, num_tokens: int) -> Dict[str, jax.Array]:
@@ -267,11 +277,12 @@ class MoGeModel:
     # epilogue+postprocess programs compile in seconds, so new input sizes of
     # a known aspect/token budget don't pay the multi-minute model compile.
 
-    def _decode_fn(self, base_h: int, base_w: int, aspect_ratio: float):
-        key = ("decode", base_h, base_w, aspect_ratio)
+    def _decode_fn(self, base_h: int, base_w: int, aspect_ratio: float, dtype):
+        key = ("decode", base_h, base_w, aspect_ratio, jnp.dtype(dtype).name)
         if key not in self._jit_cache:
+            module = self._module_for(dtype)
             self._jit_cache[key] = jax.jit(
-                lambda params, image_14: self.module.apply(
+                lambda params, image_14: module.apply(
                     {"params": params}, image_14, base_h, base_w, aspect_ratio, True,
                     method=MoGeV2.decode,
                 )
@@ -314,7 +325,7 @@ class MoGeModel:
         force_projection: bool = True,
         apply_mask: bool = True,
         fov_x: Optional[Union[Number, jax.Array]] = None,
-        use_fp16: bool = True,  # kept for API parity; dtype fixed at construction
+        use_fp16: bool = True,
     ) -> Dict[str, jax.Array]:
         """Single-call inference with camera recovery (reference v2.py:194-303)."""
         image = jnp.asarray(image)
@@ -331,9 +342,12 @@ class MoGeModel:
             mn, mx = self.num_tokens_range
             num_tokens = int(mn + (resolution_level / 9) * (mx - mn))
         base_h, base_w = base_token_grid(num_tokens, aspect_ratio)
+        # use_fp16 toggles reduced-precision compute (bf16, the TPU equivalent
+        # of the reference's fp16 autocast, v2.py:241); False -> full fp32.
+        compute_dtype = self.dtype if use_fp16 else jnp.float32
 
         image_14 = self._resize_in_fn(base_h, base_w)(image)
-        raw = self._decode_fn(base_h, base_w, aspect_ratio)(self.params, image_14)
+        raw = self._decode_fn(base_h, base_w, aspect_ratio, compute_dtype)(self.params, image_14)
         fov_arr = jnp.asarray(fov_x, dtype=jnp.float32) if fov_x is not None else jnp.float32(0)
         out = self._post_fn(h, w, aspect_ratio, fov_x is not None, force_projection, apply_mask)(raw, fov_arr)
         if omit_batch_dim:

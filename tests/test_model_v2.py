@@ -137,3 +137,26 @@ def test_infer_known_fov(models):
     np.testing.assert_allclose(
         np.asarray(got_out["depth"])[both], ref_out["depth"].numpy()[both], rtol=1e-2, atol=1e-3
     )
+
+
+def test_use_fp16_false_gives_fp32_compute(models):
+    """A bf16-constructed model with use_fp16=False must compute in fp32
+    (reference autocast-disabled semantics)."""
+    ref, mine = models
+    import jax.numpy as jnp2
+
+    from moge_tpu.models.v2 import MoGeModel as M2
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, 84, 84, 3)).astype(np.float32)
+    bf16_model = M2(mine.config, mine.params, dtype=jnp2.bfloat16)
+
+    out_fp32_path = bf16_model.infer(jnp2.asarray(img), num_tokens=36, use_fp16=False, apply_mask=False)
+    out_ref_fp32 = mine.infer(jnp2.asarray(img), num_tokens=36, apply_mask=False)  # fp32-constructed
+    np.testing.assert_allclose(
+        np.asarray(out_fp32_path["depth"]), np.asarray(out_ref_fp32["depth"]), rtol=1e-6, atol=1e-7
+    )
+    out_bf16_path = bf16_model.infer(jnp2.asarray(img), num_tokens=36, use_fp16=True, apply_mask=False)
+    # bf16 differs from fp32 but stays within mixed-precision tolerance
+    d32, d16 = np.asarray(out_ref_fp32["depth"]), np.asarray(out_bf16_path["depth"])
+    assert 0 < np.abs(d32 - d16).max() / np.abs(d32).max() < 5e-2
