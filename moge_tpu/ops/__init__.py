@@ -1,8 +1,24 @@
-from . import geometry, resize, solvers
+from . import alignment, attention, geometry, resize, solvers
+from .alignment import (
+    align,
+    align_affine_lstsq,
+    align_depth_affine,
+    align_depth_scale,
+    align_points_scale,
+    align_points_scale_xyz_shift,
+    align_points_scale_z_shift,
+    align_points_xyz_shift,
+    align_points_z_shift,
+)
+from .attention import flash_attention, scaled_dot_product_attention
 from .geometry import (
     angle_between,
     angle_diff_vec3,
     depth_map_edge,
+    dilate_with_mask,
+    refine_depth_with_normal,
+    safe_norm,
+    sliding_window_2d,
     depth_map_to_normal_map,
     depth_map_to_point_map,
     focal_to_fov,

@@ -63,7 +63,7 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     ckpt_dir = workspace / "checkpoints"
     if checkpoint_arg is not None:
         if checkpoint_arg == "latest":
-            steps = sorted(int(p.name) for p in ckpt_dir.glob("[0-9]*") if p.is_dir())
+            steps = sorted(int(p.name) for p in ckpt_dir.glob("[0-9]*") if p.is_dir() and p.name.isdigit())
             ckpt_path = ckpt_dir / str(steps[-1]) if steps else None
         elif checkpoint_arg.isdigit():
             ckpt_path = ckpt_dir / checkpoint_arg

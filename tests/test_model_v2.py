@@ -160,3 +160,17 @@ def test_use_fp16_false_gives_fp32_compute(models):
     # bf16 differs from fp32 but stays within mixed-precision tolerance
     d32, d16 = np.asarray(out_ref_fp32["depth"]), np.asarray(out_bf16_path["depth"])
     assert 0 < np.abs(d32 - d16).max() / np.abs(d32).max() < 5e-2
+
+
+@pytest.mark.parametrize("h,w", [(168, 84), (84, 168)])
+def test_forward_parity_extreme_aspect(models, h, w):
+    """Aspect 2:1 and 1:2 — the supported range edges (reference README.md:33):
+    stresses pos-embed interpolation and per-level uv conditioning."""
+    ref, mine = models
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (1, 3, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.forward(torch.from_numpy(img), num_tokens=72)
+    got_out = mine.forward(jnp.asarray(np.moveaxis(img, 1, -1)), num_tokens=72)
+    np.testing.assert_allclose(np.asarray(got_out["points"]), ref_out["points"].numpy(), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_out["mask"]), ref_out["mask"].numpy(), rtol=5e-3, atol=1e-3)
