@@ -33,11 +33,12 @@ DEFAULT_Q_BLOCK = 256
 DEFAULT_K_BLOCK = 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, k_block: int, n_valid: int, scale: float):
-    """One (batch*head, q_block) tile: online softmax over K blocks.
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
-    q_ref: (q_block, d); k_ref/v_ref: (n_padded, d); o_ref: (q_block, d).
-    """
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, n_valid: int, scale: float):
+    """Forward that also emits the per-row logsumexp (for the backward)."""
     q = q_ref[:].astype(jnp.float32) * scale
     n_padded, d = k_ref.shape
     num_k_blocks = n_padded // k_block
@@ -47,20 +48,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, k_block: int, n_valid: int, sca
         acc, m, l = carry
         k = k_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
         v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (q_block, k_block)
-        # mask out padded keys
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1) + i * k_block
         logits = jnp.where(col < n_valid, logits, -jnp.inf)
-
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc_new = acc * alpha + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
     acc0 = jnp.zeros((q_block, d), jnp.float32)
@@ -68,10 +63,150 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, k_block: int, n_valid: int, sca
     l0 = jnp.zeros((q_block, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = (m + jnp.log(jnp.maximum(l, 1e-30)))
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                     *, k_block: int, n_valid: int, scale: float):
+    """dQ for one q block: loop over K blocks recomputing P."""
+    q = q_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]          # (q_block, 1)
+    delta = delta_ref[:]      # (q_block, 1)
+    n_padded, d = k_ref.shape
+    num_k_blocks = n_padded // k_block
+    q_block = q.shape[0]
+
+    def body(i, dq):
+        k = k_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1) + i * k_block
+        # padded q rows have lse = -inf; suppress them to avoid inf*0 NaNs
+        p = jnp.where((col < n_valid) & (lse > -1e30), jnp.exp(logits - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((q_block, d), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                      *, q_block: int, n_valid: int, scale: float):
+    """dK/dV for one k block: loop over Q blocks recomputing P."""
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    kb, d = k.shape
+    n_padded = q_ref.shape[0]
+    num_q_blocks = n_padded // q_block
+    kv_start = pl.program_id(1) * kb
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(i * q_block, q_block), :].astype(jnp.float32)
+        do = do_ref[pl.ds(i * q_block, q_block), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * q_block, q_block), :]
+        delta = delta_ref[pl.ds(i * q_block, q_block), :]
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_block, kb), 1) + kv_start
+        row = jax.lax.broadcasted_iota(jnp.int32, (q_block, kb), 0) + i * q_block
+        valid = (col < n_valid) & (row < n_valid)
+        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((kb, d), jnp.float32)
+    dv0 = jnp.zeros((kb, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
+    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(qp, kp, vp, n_valid: int, q_block: int, k_block: int):
+    out, _lse = _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block)
+    return out
+
+
+def _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block):
+    bh, n_pad, d = qp.shape
+    scale = d ** -0.5
+    grid = (bh, n_pad // q_block)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, k_block=k_block, n_valid=n_valid, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out, lse
+
+
+def _flash_core_fwd(qp, kp, vp, n_valid, q_block, k_block):
+    out, lse = _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block)
+    return out, (qp, kp, vp, out, lse)
+
+
+def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
+    qp, kp, vp, out, lse = residuals
+    bh, n_pad, d = qp.shape
+    scale = d ** -0.5
+    # delta_i = sum_d dO_i O_i (rowwise), fp32
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, k_block=k_block, n_valid=n_valid, scale=scale),
+        grid=(bh, n_pad // q_block),
+        in_specs=[
+            pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
+    )(qp, kp, vp, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, q_block=q_block, n_valid=n_valid, scale=scale),
+        grid=(bh, n_pad // k_block),
+        in_specs=[
+            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n_pad, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n_pad, 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), kp.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), vp.dtype),
+        ],
+    )(qp, kp, vp, do, lse, delta)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("q_block", "k_block"))
@@ -81,11 +216,11 @@ def flash_attention(
 ) -> jax.Array:
     """Multi-head attention, (B, N, H, D) layout, scale = D**-0.5.
 
-    Pallas TPU flash kernel; numerics match SDPA (fp32 softmax) to bf16
-    precision. N is padded internally; output has the input N.
+    Pallas TPU flash kernel with a flash backward (custom VJP): neither pass
+    materializes the (N, N) probability matrix in HBM. Numerics match SDPA
+    (fp32 softmax) to bf16 precision. N is padded internally.
     """
     b, n, h, d = q.shape
-    scale = d ** -0.5
     n_pad = _round_up(n, max(q_block, k_block))
 
     def pad(x):
@@ -96,19 +231,7 @@ def flash_attention(
     kp = pad(k).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
     vp = pad(v).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
 
-    grid = (b * h, n_pad // q_block)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, k_block=k_block, n_valid=n, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
-    )(qp, kp, vp)
-
+    out = _flash_core(qp, kp, vp, n, q_block, k_block)
     out = out.reshape(b, h, n_pad, d).transpose(0, 2, 1, 3)
     return out[:, :n]
 

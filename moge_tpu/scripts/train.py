@@ -31,9 +31,10 @@ import click
 @click.option("--num_tokens_quantum", type=int, default=100, help="Bucket size for random per-step num_tokens.")
 @click.option("--image_size_quantum", type=int, default=32, help="Bucket (pixel multiple) for sampled image sizes.")
 @click.option("--vis_every", type=int, default=0, help="Dump GT-vs-pred depth visualizations every N steps (0 = off).")
+@click.option("--flash", "use_flash", is_flag=True, help="Use the pallas flash-attention kernel (custom VJP) in training.")
 def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps, num_iterations,
          save_every, log_every, checkpoint_arg, enable_ema, fsdp, seed, num_tokens_quantum, image_size_quantum,
-         vis_every):
+         vis_every, use_flash):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,7 +57,7 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     # ---- model ----
     model_version = config.get("model_version", "v2")
     ModelCls = import_model_class_by_version(model_version)
-    model = ModelCls(config["model"], None, dtype=jnp.bfloat16)
+    model = ModelCls(config["model"], None, dtype=jnp.bfloat16, use_flash=use_flash)
     num_tokens_range = config["model"].get("num_tokens_range", [1200, 3600])
 
     initial_step = 0

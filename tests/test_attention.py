@@ -33,3 +33,27 @@ def test_flash_padding_mask_correct():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(flash_attention(q, k, v, q_block=128, k_block=128))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_flash_backward_matches_sdpa_grad():
+    """Custom-VJP flash backward vs XLA autodiff gradients (interpreter mode)."""
+    rng = np.random.default_rng(2)
+    b, n, h, d = 1, 200, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) * cot)
+
+    gq_ref, gk_ref, gv_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, q_block=128, k_block=128) * cot)
+
+        gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+
+    for got, ref, name in [(gq, gq_ref, "dq"), (gk, gk_ref, "dk"), (gv, gv_ref, "dv")]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-4, err_msg=name)
