@@ -207,8 +207,13 @@ def convert_moge1(checkpoint: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[s
     return config, params
 
 
-def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
-    """torch DINOv2 state_dict -> DinoViT flax params dict."""
+def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "", stack_blocks: bool = False) -> Dict[str, Any]:
+    """torch DINOv2 state_dict -> DinoViT flax params dict.
+
+    ``stack_blocks``: stack per-block tensors along a leading depth axis for
+    the lax.scan block layout (DinoViT.scan_blocks=True); default is the
+    unrolled blocks_{i} layout.
+    """
     g = lambda k: sd[prefix + k]  # noqa: E731
     p = _np(g("patch_embed.proj.weight"))  # (D, 3, p, p)
     dim = p.shape[0]
@@ -226,6 +231,7 @@ def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Dict[str
     depth = 0
     while f"{prefix}blocks.{depth}.norm1.weight" in sd:
         depth += 1
+    per_block = []
     for i in range(depth):
         bp = f"blocks.{i}."
         blk: Dict[str, Any] = {
@@ -249,5 +255,51 @@ def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "") -> Dict[str
         if prefix + bp + "ls1.gamma" in sd:
             blk["ls1_gamma"] = _np(g(bp + "ls1.gamma"))
             blk["ls2_gamma"] = _np(g(bp + "ls2.gamma"))
-        params[f"blocks_{i}"] = blk
+        per_block.append(blk)
+
+    if stack_blocks:
+        import jax
+
+        params["blocks"] = {
+            "block": jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *per_block)
+        }
+    else:
+        for i, blk in enumerate(per_block):
+            params[f"blocks_{i}"] = blk
+    return params
+
+
+def _find_backbone_dicts(params: Dict[str, Any]):
+    """Yield every DinoViT param dict inside a model param tree."""
+    if "patch_kernel" in params:
+        yield params
+    for v in params.values():
+        if isinstance(v, dict):
+            yield from _find_backbone_dicts(v)
+
+
+def adapt_block_layout(params: Dict[str, Any], stacked: bool) -> Dict[str, Any]:
+    """Convert DinoViT block params between the unrolled (blocks_{i}) and
+    stacked-scan (blocks/block with a leading depth axis) layouts, in place
+    on a shallow-copied tree. No-op if already in the requested layout."""
+    import jax
+
+    def to_stacked(bb: Dict[str, Any]):
+        idx = sorted(int(k.split("_")[1]) for k in bb if k.startswith("blocks_"))
+        per_block = [bb.pop(f"blocks_{i}") for i in idx]
+        bb["blocks"] = {"block": jax.tree.map(lambda *ls: np.stack([np.asarray(l) for l in ls], axis=0), *per_block)}
+
+    def to_unrolled(bb: Dict[str, Any]):
+        stacked_tree = bb.pop("blocks")["block"]
+        depth = jax.tree.leaves(stacked_tree)[0].shape[0]
+        for i in range(depth):
+            bb[f"blocks_{i}"] = jax.tree.map(lambda leaf: np.asarray(leaf)[i], stacked_tree)
+
+    for bb in _find_backbone_dicts(params):
+        has_stacked = "blocks" in bb
+        has_unrolled = any(k.startswith("blocks_") for k in bb)
+        if stacked and has_unrolled:
+            to_stacked(bb)
+        elif not stacked and has_stacked:
+            to_unrolled(bb)
     return params

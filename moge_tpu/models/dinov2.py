@@ -27,6 +27,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 from ..ops.attention import scaled_dot_product_attention
 from ..ops.resize import resize_2d
@@ -154,15 +155,60 @@ class Block(nn.Module):
         return x + h
 
 
+class _BlockScanBody(nn.Module):
+    """Scan body: one transformer block + take-layer buffer update.
+
+    carry = (x, buffer (T, B, N, D)); xs = (is_take (), slot ()) per step.
+    Under nn.scan with variable_axes={'params': 0} the block's parameters are
+    stacked along a leading depth axis — one compiled block program instead of
+    `depth` unrolled copies (ViT-L: 24x smaller HLO, much faster compiles).
+    """
+
+    dim: int
+    num_heads: int
+    mlp_hidden: int
+    use_layer_scale: bool
+    ffn: str
+    dtype: Any
+    use_flash: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        x, buf = carry
+        is_take, slot = xs
+        block_cls = nn.remat(Block) if self.remat else Block
+        x = block_cls(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            mlp_hidden=self.mlp_hidden,
+            use_layer_scale=self.use_layer_scale,
+            ffn=self.ffn,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="block",
+        )(x)
+        buf = jnp.where(is_take, buf.at[slot].set(x), buf)
+        return (x, buf), None
+
+
 class DinoViT(nn.Module):
     """DINOv2 backbone. Input: NHWC image (already resized to multiples of 14
     and ImageNet-normalized). Returns intermediate layers' (patch, cls) tokens.
+
+    ``scan_blocks``: blocks run under lax.scan with depth-stacked parameters
+    (fast compiles, for training); default is the unrolled layout
+    (params named blocks_{i}; fastest runtime).
     """
 
     config: ViTConfig
     dtype: Any = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    # scan: one compiled block program with depth-stacked params (3.4x faster
+    # compiles, measured ~13% slower at runtime) — used for training; the
+    # unrolled layout is the inference default.
+    scan_blocks: bool = False
 
     def interpolate_pos_encoding(self, pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
         """Bicubic pos-embed interpolation with the historical 0.1 offset kludge
@@ -232,25 +278,43 @@ class DinoViT(nn.Module):
             # rounded up to a multiple of 8.
             mlp_hidden = (int(dim * cfg.mlp_ratio * 2 / 3) + 7) // 8 * 8
 
-        block_cls = Block
-        if self.remat:
-            block_cls = nn.remat(Block)
+        take = sorted(set(int(i) for i in take_layers))
+        block_kwargs = dict(
+            dim=dim,
+            num_heads=cfg.num_heads,
+            mlp_hidden=mlp_hidden,
+            use_layer_scale=cfg.init_values is not None,
+            ffn=cfg.ffn,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+        )
 
-        take = set(int(i) for i in take_layers)
-        outputs = []
-        for i in range(cfg.depth):
-            x = block_cls(
-                dim=dim,
-                num_heads=cfg.num_heads,
-                mlp_hidden=mlp_hidden,
-                use_layer_scale=cfg.init_values is not None,
-                ffn=cfg.ffn,
-                dtype=self.dtype,
-                use_flash=self.use_flash,
-                name=f"blocks_{i}",
-            )(x)
-            if i in take:
-                outputs.append(x)
+        if self.scan_blocks:
+            is_take = np.zeros(cfg.depth, dtype=bool)
+            slot = np.zeros(cfg.depth, dtype=np.int32)
+            for t, layer in enumerate(take):
+                is_take[layer] = True
+                slot[layer] = t
+            buf0 = jnp.zeros((len(take), *x.shape), self.dtype)
+            scan_cls = nn.scan(
+                _BlockScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth,
+                in_axes=0,
+            )
+            (_x_final, buf), _ = scan_cls(**block_kwargs, remat=self.remat, name="blocks")(
+                (x, buf0), (jnp.asarray(is_take), jnp.asarray(slot))
+            )
+            outputs = [buf[t] for t in range(len(take))]
+        else:
+            block_cls = nn.remat(Block) if self.remat else Block
+            take_set = set(take)
+            outputs = []
+            for i in range(cfg.depth):
+                x = block_cls(**block_kwargs, name=f"blocks_{i}")(x)
+                if i in take_set:
+                    outputs.append(x)
 
         norm = LayerNorm(name="norm")
         results = []

@@ -307,6 +307,7 @@ class DINOv2Encoder(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    scan_blocks: bool = False
 
     @property
     def take_layers(self) -> Tuple[int, ...]:
@@ -338,7 +339,8 @@ class DINOv2Encoder(nn.Module):
         image_14 = (image_14 - mean) / std
 
         features = DinoViT(
-            config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="backbone"
+            config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
+            scan_blocks=self.scan_blocks, name="backbone"
         )(image_14, self.take_layers)
 
         b = image.shape[0]

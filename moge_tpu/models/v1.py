@@ -162,6 +162,7 @@ class MoGeV1(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    scan_blocks: bool = False
 
     @property
     def take_layers(self) -> Tuple[int, ...]:
@@ -189,7 +190,8 @@ class MoGeV1(nn.Module):
 
         cfg = VIT_ARCHS[self.encoder]
         features = DinoViT(
-            config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="backbone"
+            config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
+            scan_blocks=self.scan_blocks, name="backbone"
         )(image_14, self.take_layers)
 
         out = MoGeV1Head(
@@ -220,7 +222,8 @@ class MoGeModel:
 
     version = "v1"
 
-    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True):
+    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True,
+                 scan_blocks: bool = False):
         config = dict(config)
         config.pop("model_version", None)
         if "trained_area_range" in config:  # legacy kwarg (reference v1.py:169-171)
@@ -238,7 +241,12 @@ class MoGeModel:
         if config.get("remap_output") in (True,):
             config["remap_output"] = "exp"
         self.config = config
-        self.module = MoGeV1(**config, dtype=dtype, use_flash=use_flash)
+        self.scan_blocks = scan_blocks
+        if params is not None:
+            from .convert import adapt_block_layout
+
+            params = adapt_block_layout(params, stacked=scan_blocks)
+        self.module = MoGeV1(**config, dtype=dtype, use_flash=use_flash, scan_blocks=scan_blocks)
         self.params = params
         self.num_tokens_range = config.get("num_tokens_range", [1200, 2500])
         self.mask_threshold = config.get("mask_threshold", 0.5)

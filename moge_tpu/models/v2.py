@@ -66,10 +66,12 @@ class MoGeV2(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     use_flash: bool = False  # pallas flash attention (inference fwd path)
+    scan_blocks: bool = False  # lax.scan blocks (fast compiles; training)
 
     def setup(self):
         self.encoder_module = DINOv2Encoder(
-            **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash, name="encoder"
+            **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
+            scan_blocks=self.scan_blocks, name="encoder"
         )
         self.neck_module = ConvStack(**self.neck, dtype=self.dtype, remat=self.remat, name="neck")
         for head_name in ("points_head", "normal_head", "mask_head"):
@@ -228,7 +230,8 @@ class MoGeModel:
 
     version = "v2"
 
-    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True):
+    def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True,
+                 scan_blocks: bool = False):
         config = dict(config)
         config.pop("model_version", None)
         # Drop deprecated/unknown kwargs like the reference does (v2.py:42-43).
@@ -240,6 +243,11 @@ class MoGeModel:
         self.config = config
         self.dtype = dtype
         self.use_flash = use_flash
+        self.scan_blocks = scan_blocks
+        if params is not None:
+            from .convert import adapt_block_layout
+
+            params = adapt_block_layout(params, stacked=scan_blocks)
         self._modules: Dict[Any, MoGeV2] = {}
         self.module = self._module_for(dtype)  # default-compute module
         self.params = params
@@ -249,7 +257,8 @@ class MoGeModel:
     def _module_for(self, dtype) -> MoGeV2:
         key = jnp.dtype(dtype).name
         if key not in self._modules:
-            self._modules[key] = MoGeV2(**self.config, dtype=dtype, use_flash=self.use_flash)
+            self._modules[key] = MoGeV2(**self.config, dtype=dtype, use_flash=self.use_flash,
+                                        scan_blocks=self.scan_blocks)
         return self._modules[key]
 
     @classmethod

@@ -32,9 +32,10 @@ import click
 @click.option("--image_size_quantum", type=int, default=32, help="Bucket (pixel multiple) for sampled image sizes.")
 @click.option("--vis_every", type=int, default=0, help="Dump GT-vs-pred depth visualizations every N steps (0 = off).")
 @click.option("--flash", "use_flash", is_flag=True, help="Use the pallas flash-attention kernel (custom VJP) in training.")
+@click.option("--scan_blocks/--no_scan_blocks", default=False, help="lax.scan over ViT blocks: much faster compiles. NOTE: with --fsdp>1 the per-iteration param all-gather can deadlock the *virtual CPU* collectives emulation; fine on real TPU meshes.")
 def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps, num_iterations,
          save_every, log_every, checkpoint_arg, enable_ema, fsdp, seed, num_tokens_quantum, image_size_quantum,
-         vis_every, use_flash):
+         vis_every, use_flash, scan_blocks):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,7 +58,7 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     # ---- model ----
     model_version = config.get("model_version", "v2")
     ModelCls = import_model_class_by_version(model_version)
-    model = ModelCls(config["model"], None, dtype=jnp.bfloat16, use_flash=use_flash)
+    model = ModelCls(config["model"], None, dtype=jnp.bfloat16, use_flash=use_flash, scan_blocks=scan_blocks)
     num_tokens_range = config["model"].get("num_tokens_range", [1200, 3600])
 
     initial_step = 0
@@ -71,9 +72,12 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
         else:
             ckpt_path = Path(checkpoint_arg)
         if ckpt_path is not None and ckpt_path.exists():
+            from ..models.convert import adapt_block_layout
+
             cfg_loaded, params = load_native_checkpoint(ckpt_path)
             meta = json.loads((ckpt_path / "model_config.json").read_text())
             initial_step = meta.get("step") or 0
+            params = adapt_block_layout(params, stacked=scan_blocks)
             model.params = jax.tree.map(jnp.asarray, params)
             print(f"Resumed from {ckpt_path} at step {initial_step}")
     if model.params is None:

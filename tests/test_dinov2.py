@@ -93,3 +93,31 @@ def test_swiglu_arch_matches():
     for (rp, rc), (gp, gc) in zip(ref_out, got_out):
         np.testing.assert_allclose(np.asarray(gp), rp.numpy(), rtol=2e-3, atol=2e-4)
         np.testing.assert_allclose(np.asarray(gc), rc.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_scan_blocks_matches_unrolled(ref_vits):
+    """The lax.scan block layout must be numerically identical to unrolled."""
+    from moge_tpu.models.convert import adapt_block_layout
+
+    params_unrolled = convert_dinov2_backbone(ref_vits.state_dict(), stack_blocks=False)
+    params_stacked = convert_dinov2_backbone(ref_vits.state_dict(), stack_blocks=True)
+
+    cfg = VIT_ARCHS["dinov2_vits14"]
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 14 * 9, 14 * 8, 3)), jnp.float32)
+    layers = (2, 5, 8, 11)
+
+    out_u = DinoViT(config=cfg, scan_blocks=False).apply({"params": params_unrolled}, x, layers)
+    out_s = DinoViT(config=cfg, scan_blocks=True).apply({"params": params_stacked}, x, layers)
+    # fp32 fusion-order rounding differs between the two layouts (~2e-6 on
+    # magnitude-4 activations); anything beyond that is a real layout bug
+    for (pu, cu), (ps, cs) in zip(out_u, out_s):
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pu), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cu), rtol=1e-5, atol=1e-5)
+
+    # adapters roundtrip between layouts
+    import copy
+
+    roundtrip = adapt_block_layout(adapt_block_layout(copy.deepcopy(params_unrolled), True), False)
+    for a, b in zip(jax.tree.leaves(roundtrip), jax.tree.leaves(params_unrolled)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
