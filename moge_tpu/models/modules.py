@@ -356,13 +356,39 @@ class DINOv2Encoder(nn.Module):
 
 
 def make_level_uv(
-    base_h: int, base_w: int, num_levels: int, aspect_ratio: float, batch: int, dtype
+    base_h: int, base_w: int, num_levels: int, aspect_ratio, batch: int, dtype
 ) -> List[jax.Array]:
-    """Per-level aspect-ratio UV conditioning maps (reference v2.py:153-160)."""
+    """Per-level aspect-ratio UV conditioning maps (reference v2.py:153-160).
+
+    ``aspect_ratio`` may be a traced jnp scalar: the grids are then computed
+    with jnp (static shapes, dynamic span), which lets the expensive decode
+    program be keyed only by the integer token grid — images with different
+    aspect ratios that round to the same (base_h, base_w) share one compile.
+    """
+    if isinstance(aspect_ratio, (int, float)):
+        uvs = []
+        for level in range(num_levels):
+            uv = normalized_view_plane_uv(
+                width=base_w * 2 ** level, height=base_h * 2 ** level, aspect_ratio=aspect_ratio, dtype=dtype
+            )
+            uvs.append(jnp.broadcast_to(uv[None], (batch, *uv.shape)))
+        return uvs
+
+    ar = jnp.asarray(aspect_ratio, jnp.float32)
+    span_x = ar / jnp.sqrt(1 + ar ** 2)
+    span_y = 1 / jnp.sqrt(1 + ar ** 2)
     uvs = []
     for level in range(num_levels):
-        uv = normalized_view_plane_uv(
-            width=base_w * 2 ** level, height=base_h * 2 ** level, aspect_ratio=aspect_ratio, dtype=dtype
-        )
+        w = base_w * 2 ** level
+        h = base_h * 2 ** level
+        # linspace over pixel centers with traced endpoints (same formula as
+        # normalized_view_plane_uv; shapes static, values dynamic)
+        iu = jnp.arange(w, dtype=jnp.float32)
+        iv = jnp.arange(h, dtype=jnp.float32)
+        lo_u, hi_u = -span_x * (w - 1) / w, span_x * (w - 1) / w
+        lo_v, hi_v = -span_y * (h - 1) / h, span_y * (h - 1) / h
+        u = lo_u + (hi_u - lo_u) * (iu / max(w - 1, 1))
+        v = lo_v + (hi_v - lo_v) * (iv / max(h - 1, 1))
+        uv = jnp.stack(jnp.meshgrid(u, v, indexing="xy"), axis=-1).astype(dtype)
         uvs.append(jnp.broadcast_to(uv[None], (batch, *uv.shape)))
     return uvs

@@ -286,13 +286,15 @@ class MoGeModel:
     # epilogue+postprocess programs compile in seconds, so new input sizes of
     # a known aspect/token budget don't pay the multi-minute model compile.
 
-    def _decode_fn(self, base_h: int, base_w: int, aspect_ratio: float, dtype):
-        key = ("decode", base_h, base_w, aspect_ratio, jnp.dtype(dtype).name)
+    def _decode_fn(self, base_h: int, base_w: int, dtype):
+        # aspect_ratio enters as a TRACED scalar: one decode compile serves
+        # every aspect that rounds to the same integer token grid.
+        key = ("decode", base_h, base_w, jnp.dtype(dtype).name)
         if key not in self._jit_cache:
             module = self._module_for(dtype)
             self._jit_cache[key] = jax.jit(
-                lambda params, image_14: module.apply(
-                    {"params": params}, image_14, base_h, base_w, aspect_ratio, True,
+                lambda params, image_14, aspect: module.apply(
+                    {"params": params}, image_14, base_h, base_w, aspect, True,
                     method=MoGeV2.decode,
                 )
             )
@@ -356,7 +358,9 @@ class MoGeModel:
         compute_dtype = self.dtype if use_fp16 else jnp.float32
 
         image_14 = self._resize_in_fn(base_h, base_w)(image)
-        raw = self._decode_fn(base_h, base_w, aspect_ratio, compute_dtype)(self.params, image_14)
+        raw = self._decode_fn(base_h, base_w, compute_dtype)(
+            self.params, image_14, jnp.float32(aspect_ratio)
+        )
         fov_arr = jnp.asarray(fov_x, dtype=jnp.float32) if fov_x is not None else jnp.float32(0)
         out = self._post_fn(h, w, aspect_ratio, fov_x is not None, force_projection, apply_mask)(raw, fov_arr)
         if omit_batch_dim:
