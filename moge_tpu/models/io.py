@@ -55,16 +55,32 @@ def load_checkpoint(path_or_repo, version: str = "v2") -> Tuple[Dict[str, Any], 
     raise ValueError(f"Unknown model version: {version}")
 
 
-def save_native_checkpoint(path, config: Dict[str, Any], params, step: Optional[int] = None):
-    """Save a moge_tpu-native checkpoint: config JSON + orbax param tree."""
+def save_native_checkpoint(path, config: Dict[str, Any], params, step: Optional[int] = None,
+                           max_retries: int = 5):
+    """Save a moge_tpu-native checkpoint: config JSON + orbax param tree.
+
+    Retries on I/O errors with backoff (the reference retries checkpoint
+    writes forever on transient storage failures, train.py:219-226; we cap
+    at ``max_retries``)."""
+    import time
+
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
-    path.mkdir(parents=True, exist_ok=True)
-    (path / "model_config.json").write_text(json.dumps({"config": config, "step": step}))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / "params", params, force=True)
-    ckptr.wait_until_finished()
+    last_err = None
+    for attempt in range(max_retries):
+        try:
+            path.mkdir(parents=True, exist_ok=True)
+            (path / "model_config.json").write_text(json.dumps({"config": config, "step": step}))
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path / "params", params, force=True)
+            ckptr.wait_until_finished()
+            return
+        except (OSError, IOError) as e:  # transient storage failures
+            last_err = e
+            print(f"Checkpoint write failed (attempt {attempt + 1}/{max_retries}): {e}")
+            time.sleep(min(2 ** attempt, 30))
+    raise last_err
 
 
 def load_native_checkpoint(path) -> Tuple[Dict[str, Any], Any]:

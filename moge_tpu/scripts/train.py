@@ -152,7 +152,12 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
                 with mesh:
                     state, metrics = get_step_fn(num_tokens)(state, batch, sub)
 
-            records.append({k: float(v) for k, v in metrics.items()})
+            record = {k: float(v) for k, v in metrics.items()}
+            if not np.isfinite(record.get("total", 0.0)):
+                # NaN-loss report (reference train.py:326-328); the NaN-grad
+                # skip already prevented the update.
+                print(f"NaN loss at step {i_step}: {record}")
+            records.append(record)
 
             if i_step % log_every == 0 or i_step == initial_step:
                 avg = key_average(records)
