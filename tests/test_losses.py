@@ -97,6 +97,7 @@ def test_metric_scale_and_normal_map_losses_match():
     np.testing.assert_allclose(np.asarray(got_l), ref_l.numpy(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_local_loss_behaviour():
     """Sampling RNG differs from torch; check structural/behavioral properties."""
     rng = np.random.default_rng(5)

@@ -40,6 +40,7 @@ def _to_torch(d):
 
 
 @pytest.mark.parametrize("pred_kind", ["depth_metric", "points_scale_invariant", "points_metric"])
+@pytest.mark.slow
 def test_compute_metrics_matches_reference(pred_kind):
     rng = np.random.default_rng(0)
     gt = _sample(rng)
@@ -64,6 +65,7 @@ def test_compute_metrics_matches_reference(pred_kind):
             assert gv == pytest.approx(rv, rel=2e-2, abs=2e-3), f"{group}.{k}: {gv} vs {rv}"
 
 
+@pytest.mark.slow
 def test_local_points_metric():
     rng = np.random.default_rng(1)
     gt = _sample(rng)

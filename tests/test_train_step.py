@@ -65,6 +65,7 @@ def test_param_groups_freeze_and_lr():
     assert head_step > backbone_step * 50
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_devices():
     import __graft_entry__
 
