@@ -104,15 +104,24 @@ def _project(directions: np.ndarray, extrinsics: np.ndarray, intrinsics: np.ndar
 def split_panorama_image(
     image: np.ndarray, extrinsics: np.ndarray, intrinsics: List[np.ndarray], resolution: int
 ) -> List[np.ndarray]:
-    """Resample an equirectangular image into perspective views (reference :40-50)."""
+    """Resample an equirectangular image into perspective views (reference :40-50).
+
+    Unlike the reference, views straddling the u=0/1 seam interpolate across
+    the horizontal wrap (the reference's bare cv2.remap reads a constant
+    border there, darkening a one-pixel column in seam-crossing views).
+    """
     height, width = image.shape[:2]
+    wrapped = np.pad(image, ((0, 0), (1, 1)) + ((0, 0),) * (image.ndim - 2), mode="wrap")
     uv = uv_map_numpy(resolution, resolution)
     out = []
     for i in range(len(extrinsics)):
         directions = _unproject(uv, extrinsics[i], intrinsics[i])
         spherical_uv = directions_to_spherical_uv(directions)
         pixels = uv_to_pixel(spherical_uv, (height, width)).astype(np.float32)
-        out.append(cv2.remap(image, pixels[..., 0], pixels[..., 1], interpolation=cv2.INTER_LINEAR))
+        out.append(
+            cv2.remap(wrapped, pixels[..., 0] + 1.0, pixels[..., 1],
+                      interpolation=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+        )
     return out
 
 

@@ -1,0 +1,75 @@
+"""Tests for the panorama split/merge path (moge_tpu.panorama).
+
+Covers the geometry round trips and the gradient-domain depth merge
+(reference moge/utils/panorama.py) on a synthetic smooth distance field.
+"""
+
+import numpy as np
+import pytest
+
+from moge_tpu import panorama as pano
+
+
+def test_spherical_uv_direction_roundtrip():
+    rng = np.random.default_rng(0)
+    uv = rng.uniform(0.01, 0.99, (64, 2)).astype(np.float64)
+    d = pano.spherical_uv_to_directions(uv)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-12)
+    uv2 = pano.directions_to_spherical_uv(d)
+    np.testing.assert_allclose(uv2, uv, atol=1e-9)
+
+
+def test_panorama_cameras_are_valid_rotations():
+    extrinsics, intrinsics = pano.get_panorama_cameras()
+    assert len(extrinsics) == len(intrinsics) == 12  # icosahedron vertices
+    for E in extrinsics:
+        R = E[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+    # 90-deg FoV: fx = fy = 0.5 in normalized intrinsics
+    assert intrinsics[0][0, 0] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_split_constant_image_gives_constant_views():
+    img = np.full((32, 64, 3), 0.25, np.float32)
+    extrinsics, intrinsics = pano.get_panorama_cameras()
+    views = pano.split_panorama_image(img, extrinsics, intrinsics, resolution=24)
+    assert len(views) == 12 and views[0].shape == (24, 24, 3)
+    for v in views:
+        np.testing.assert_allclose(v, 0.25, atol=1e-6)
+
+
+def _smooth_distance(directions):
+    """Smooth positive field on the sphere (no sharp gradients)."""
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    return 2.0 + 0.5 * z + 0.3 * np.sin(2 * x) * np.cos(y)
+
+
+def test_merge_panorama_depth_recovers_smooth_field():
+    from moge_tpu.utils.geometry_numpy import uv_map_numpy
+
+    extrinsics, intrinsics = pano.get_panorama_cameras()
+    res = 48
+    uv = uv_map_numpy(res, res)
+    distance_maps, masks = [], []
+    for E, K in zip(extrinsics, intrinsics):
+        d = pano._unproject(uv, E, K)
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        distance_maps.append(_smooth_distance(d).astype(np.float32))
+        masks.append(np.ones((res, res), bool))
+
+    width, height = 128, 64
+    merged, merged_mask = pano.merge_panorama_depth(
+        width, height, distance_maps, masks, list(extrinsics), intrinsics
+    )
+    assert merged.shape == (height, width) and merged_mask.shape == (height, width)
+    assert merged_mask.all()  # 12 x 90-deg views cover the sphere
+
+    gt = _smooth_distance(pano.spherical_uv_to_directions(uv_map_numpy(height, width)))
+    # the gradient-domain system is gauge-free (reference panorama.py:172-186
+    # solves grad+laplacian equations only), so the global log offset is
+    # arbitrary: align by median scale, then demand small relative error
+    scale = np.median(gt / merged)
+    rel = np.abs(merged * scale - gt) / gt
+    assert np.median(rel) < 0.02
+    assert rel.mean() < 0.05
