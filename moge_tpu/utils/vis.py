@@ -9,6 +9,17 @@ import matplotlib
 import numpy as np
 
 
+def _nanquantile_range(x: np.ndarray, lo: float, hi: float) -> Tuple[float, float]:
+    """Quantile range that is quiet on all-NaN input (fully masked maps) and
+    never returns a zero span (constant maps render mid-colormap, not NaN)."""
+    if not np.isfinite(x).any():
+        return 0.0, 1.0
+    vmin, vmax = np.nanquantile(x, lo), np.nanquantile(x, hi)
+    if vmax - vmin < 1e-12:
+        vmin, vmax = vmin - 0.5, vmax + 0.5
+    return vmin, vmax
+
+
 def colorize_depth(depth: np.ndarray, mask: Optional[np.ndarray] = None, normalize: bool = True, cmap: str = "Spectral") -> np.ndarray:
     if mask is None:
         depth = np.where(depth > 0, depth, np.nan)
@@ -16,7 +27,7 @@ def colorize_depth(depth: np.ndarray, mask: Optional[np.ndarray] = None, normali
         depth = np.where((depth > 0) & mask, depth, np.nan)
     disp = 1 / depth
     if normalize:
-        min_disp, max_disp = np.nanquantile(disp, 0.001), np.nanquantile(disp, 0.99)
+        min_disp, max_disp = _nanquantile_range(disp, 0.001, 0.99)
         disp = (disp - min_disp) / (max_disp - min_disp)
     colored = np.nan_to_num(matplotlib.colormaps[cmap](1.0 - disp)[..., :3], 0)
     return np.ascontiguousarray((colored.clip(0, 1) * 255).astype(np.uint8))
@@ -25,7 +36,7 @@ def colorize_depth(depth: np.ndarray, mask: Optional[np.ndarray] = None, normali
 def colorize_depth_affine(depth: np.ndarray, mask: Optional[np.ndarray] = None, cmap: str = "Spectral") -> np.ndarray:
     if mask is not None:
         depth = np.where(mask, depth, np.nan)
-    min_depth, max_depth = np.nanquantile(depth, 0.001), np.nanquantile(depth, 0.999)
+    min_depth, max_depth = _nanquantile_range(depth, 0.001, 0.999)
     depth = (depth - min_depth) / (max_depth - min_depth)
     colored = np.nan_to_num(matplotlib.colormaps[cmap](depth)[..., :3], 0)
     return np.ascontiguousarray((colored.clip(0, 1) * 255).astype(np.uint8))
@@ -35,7 +46,7 @@ def colorize_disparity(disparity: np.ndarray, mask: Optional[np.ndarray] = None,
     if mask is not None:
         disparity = np.where(mask, disparity, np.nan)
     if normalize:
-        min_disp, max_disp = np.nanquantile(disparity, 0.001), np.nanquantile(disparity, 0.999)
+        min_disp, max_disp = _nanquantile_range(disparity, 0.001, 0.999)
         disparity = (disparity - min_disp) / (max_disp - min_disp)
     colored = np.nan_to_num(matplotlib.colormaps[cmap](1.0 - disparity)[..., :3], 0)
     return np.ascontiguousarray((colored.clip(0, 1) * 255).astype(np.uint8))
@@ -54,7 +65,7 @@ def colorize_normal(normal: np.ndarray, mask: Optional[np.ndarray] = None) -> np
 
 
 def colorize_error_map(error_map: np.ndarray, mask: Optional[np.ndarray] = None, cmap: str = "plasma", value_range: Optional[Tuple[float, float]] = None) -> np.ndarray:
-    vmin, vmax = value_range if value_range is not None else (np.nanmin(error_map), np.nanmax(error_map))
+    vmin, vmax = value_range if value_range is not None else _nanquantile_range(error_map, 0.0, 1.0)
     colored = matplotlib.colormaps[cmap](((error_map - vmin) / (vmax - vmin)).clip(0, 1))[..., :3]
     if mask is not None:
         colored = np.where(mask[..., None], colored, 0)
