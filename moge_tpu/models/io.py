@@ -91,3 +91,118 @@ def load_native_checkpoint(path) -> Tuple[Dict[str, Any], Any]:
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(path / "params")
     return meta["config"], params
+
+
+def save_train_checkpoint(path, config: Dict[str, Any], state, rng, max_retries: int = 5):
+    """Save the FULL training state: params (in the native-checkpoint layout,
+    so the directory doubles as an inference checkpoint) plus optimizer state,
+    EMA params, step count, and the data RNG key.
+
+    The reference persists {step, optimizer, lr_scheduler} and the EMA model
+    alongside the weights (moge/scripts/train.py:373-423) so a resumed run is
+    THE SAME run; here the optax schedule count lives inside ``opt_state``, so
+    restoring it restores the LR schedule too.
+    """
+    import time
+
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    step = int(state.step)
+    train_tree = {
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+        "step": state.step,
+        "rng": rng,
+    }
+    last_err = None
+    for attempt in range(max_retries):
+        try:
+            path.mkdir(parents=True, exist_ok=True)
+            (path / "model_config.json").write_text(json.dumps({"config": config, "step": step}))
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path / "params", state.params, force=True)
+            ckptr.save(path / "train_state", train_tree, force=True)
+            ckptr.wait_until_finished()
+            return
+        except (OSError, IOError) as e:  # transient storage failures
+            last_err = e
+            print(f"Checkpoint write failed (attempt {attempt + 1}/{max_retries}): {e}")
+            time.sleep(min(2 ** attempt, 30))
+    raise last_err
+
+
+def load_train_checkpoint(path, template_state, template_rng):
+    """Restore a full training checkpoint onto the shardings/structure of
+    ``template_state`` (a freshly built TrainState whose opt_state came from
+    the same optimizer config). Returns (config, state, rng).
+
+    Falls back to params-only restore (fresh optimizer/EMA, a warning) when
+    the checkpoint predates full-state saving or was saved params-only.
+    """
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding
+
+    path = Path(path).absolute()
+    meta = json.loads((path / "model_config.json").read_text())
+    ckptr = ocp.StandardCheckpointer()
+
+    def _to_abstract(tree):
+        # Pin only mesh (NamedSharding) placements at restore time. Leaves the
+        # template holds on a single default device (step scalar, rng key,
+        # schedule counts) restore uncommitted instead — a committed
+        # single-device scalar inside an otherwise mesh-sharded train state
+        # makes jit reject the computation as cross-device.
+        def leaf(x):
+            sh = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=sh if isinstance(sh, NamedSharding) else None)
+
+        return jax.tree.map(leaf, tree)
+
+    def _uncommit(restored, template):
+        import numpy as np
+
+        def leaf(x, t):
+            if isinstance(getattr(t, "sharding", None), NamedSharding):
+                return x
+            return jnp.asarray(np.asarray(x))
+
+        return jax.tree.map(leaf, restored, template)
+
+    params = _uncommit(
+        ckptr.restore(path / "params", _to_abstract(template_state.params)),
+        template_state.params,
+    )
+
+    cls = type(template_state)
+    if not (path / "train_state").exists():
+        print(f"WARNING: {path} has no train_state (params-only checkpoint); "
+              "optimizer/EMA/schedule state re-initialized — the resumed run "
+              "is NOT a continuation of the original optimization.")
+        step = meta.get("step") or 0
+        state = template_state._replace(
+            step=jnp.asarray(step, template_state.step.dtype),
+            params=params,
+            ema_params=jax.tree.map(jnp.copy, params) if template_state.ema_params is not None else None,
+        )
+        return meta["config"], state, template_rng
+
+    template_train = {
+        "opt_state": template_state.opt_state,
+        "ema_params": template_state.ema_params,
+        "step": template_state.step,
+        "rng": template_rng,
+    }
+    train_tree = _uncommit(
+        ckptr.restore(path / "train_state", _to_abstract(template_train)), template_train
+    )
+    state = cls(
+        step=train_tree["step"],
+        params=params,
+        opt_state=train_tree["opt_state"],
+        ema_params=train_tree["ema_params"],
+    )
+    return meta["config"], state, train_tree["rng"]

@@ -25,8 +25,12 @@ import click
 @click.option("--save_every", type=int, default=5000)
 @click.option("--log_every", type=int, default=100)
 @click.option("--checkpoint", "checkpoint_arg", type=str, default=None, help='"latest", a step number, or a checkpoint path.')
-@click.option("--ema", "enable_ema", is_flag=True, default=True)
+@click.option("--ema/--no-ema", "enable_ema", default=True)
 @click.option("--fsdp", type=int, default=1, help="FSDP (param-sharding) mesh axis size.")
+@click.option("--multihost", is_flag=True, help="Multi-host run: jax.distributed.initialize, mesh over ALL hosts' devices (dp across hosts/DCN, fsdp within host/ICI), per-host batch feeding. batch_size_forward is the GLOBAL batch.")
+@click.option("--coordinator", "coordinator_address", type=str, default=None, help="Multihost coordinator host:port (auto-detected on TPU pods).")
+@click.option("--num_processes", type=int, default=None, help="Multihost process count (auto-detected on TPU pods).")
+@click.option("--process_id", type=int, default=None, help="This process's rank (auto-detected on TPU pods).")
 @click.option("--seed", type=int, default=0)
 @click.option("--num_tokens_quantum", type=int, default=100, help="Bucket size for random per-step num_tokens.")
 @click.option("--image_size_quantum", type=int, default=32, help="Bucket (pixel multiple) for sampled image sizes.")
@@ -34,17 +38,26 @@ import click
 @click.option("--flash", "use_flash", is_flag=True, help="Use the pallas flash-attention kernel (custom VJP) in training.")
 @click.option("--scan_blocks/--no_scan_blocks", default=False, help="lax.scan over ViT blocks: much faster compiles. NOTE: with --fsdp>1 the per-iteration param all-gather can deadlock the *virtual CPU* collectives emulation; fine on real TPU meshes.")
 def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps, num_iterations,
-         save_every, log_every, checkpoint_arg, enable_ema, fsdp, seed, num_tokens_quantum, image_size_quantum,
+         save_every, log_every, checkpoint_arg, enable_ema, fsdp, multihost, coordinator_address,
+         num_processes, process_id, seed, num_tokens_quantum, image_size_quantum,
          vis_every, use_flash, scan_blocks):
+    if multihost:
+        # Must run before any jax backend touch.
+        from ..parallel.distributed import initialize_distributed
+
+        initialize_distributed(coordinator_address, num_processes, process_id)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..models import import_model_class_by_version
-    from ..models.io import load_native_checkpoint, save_native_checkpoint
+    from ..models.io import (load_native_checkpoint, load_train_checkpoint,
+                             save_native_checkpoint, save_train_checkpoint)
     from ..parallel.mesh import make_mesh, shard_batch, shard_params
     from ..train.dataloader import TrainDataLoaderPipeline
-    from ..train.step import TrainState, init_train_state, make_train_step
+    from ..train.step import (accumulate_grads, init_train_state, make_apply_step,
+                              make_grad_step, make_train_step, scale_grads)
     from ..train.utils import build_optimizer
     from ..utils.tools import key_average
 
@@ -63,37 +76,68 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
 
     initial_step = 0
     ckpt_dir = workspace / "checkpoints"
+    resume_path = None
     if checkpoint_arg is not None:
         if checkpoint_arg == "latest":
             steps = sorted(int(p.name) for p in ckpt_dir.glob("[0-9]*") if p.is_dir() and p.name.isdigit())
-            ckpt_path = ckpt_dir / str(steps[-1]) if steps else None
+            resume_path = ckpt_dir / str(steps[-1]) if steps else None
         elif checkpoint_arg.isdigit():
-            ckpt_path = ckpt_dir / checkpoint_arg
+            resume_path = ckpt_dir / checkpoint_arg
         else:
-            ckpt_path = Path(checkpoint_arg)
-        if ckpt_path is not None and ckpt_path.exists():
-            from ..models.convert import adapt_block_layout
+            resume_path = Path(checkpoint_arg)
+        if resume_path is not None and not resume_path.exists():
+            resume_path = None
+    if resume_path is not None:
+        # Load raw params first (gives build_optimizer its pytree structure
+        # and handles block-layout adaptation); optimizer/EMA/step/rng are
+        # restored onto the sharded template below.
+        from ..models.convert import adapt_block_layout
 
-            cfg_loaded, params = load_native_checkpoint(ckpt_path)
-            meta = json.loads((ckpt_path / "model_config.json").read_text())
-            initial_step = meta.get("step") or 0
-            params = adapt_block_layout(params, stacked=scan_blocks)
-            model.params = jax.tree.map(jnp.asarray, params)
-            print(f"Resumed from {ckpt_path} at step {initial_step}")
+        _, params = load_native_checkpoint(resume_path)
+        params = adapt_block_layout(params, stacked=scan_blocks)
+        model.params = jax.tree.map(jnp.asarray, params)
     if model.params is None:
         model.init_random(seed=seed)
         print("Initialized random weights (use a converted DINOv2 checkpoint via "
               "moge_tpu.models.convert for pretrained backbone initialization)")
 
     # ---- mesh / optimizer ----
-    mesh = make_mesh(fsdp=fsdp)
-    print(f"mesh: dp={mesh.shape['dp']} x fsdp={mesh.shape['fsdp']}")
+    if multihost:
+        from ..parallel.distributed import make_multihost_mesh, shard_host_batch
+
+        mesh = make_multihost_mesh(fsdp=fsdp)
+    else:
+        mesh = make_mesh(fsdp=fsdp)
+    is_main_process = jax.process_index() == 0
+    print(f"mesh: dp={mesh.shape['dp']} x fsdp={mesh.shape['fsdp']} "
+          f"(process {jax.process_index()}/{jax.process_count()})")
     tx = build_optimizer(model.params, config["optimizer"], config.get("lr_scheduler"))
     params = shard_params(model.params, mesh)
     state = init_train_state(params, tx, enable_ema=enable_ema)
+    rng_key = jax.random.PRNGKey(seed)
+
+    if resume_path is not None:
+        # Full training-state resume (reference train.py:143-207 restores
+        # {step, optimizer, lr_scheduler} + EMA so a resumed run IS the run).
+        try:
+            _, state, rng_key = load_train_checkpoint(resume_path, state, rng_key)
+            initial_step = int(state.step)
+        except Exception as e:  # e.g. block-layout change between runs
+            meta = json.loads((resume_path / "model_config.json").read_text())
+            initial_step = meta.get("step") or 0
+            state = state._replace(step=jnp.asarray(initial_step, jnp.int32))
+            print(f"WARNING: full-state restore failed ({e}); resumed params-only")
+        print(f"Resumed from {resume_path} at step {initial_step}")
+    # Re-seed host randomness so a resumed run does not replay the same data
+    # order from step 0 (reference train.py:264-266).
+    random.seed(seed + initial_step)
 
     label_types = sorted(config["loss"].keys())
     step_cache = {}
+    grad_cache = {}
+    apply_fn = jax.jit(make_apply_step(tx), donate_argnums=(0, 1))
+    acc_fn = jax.jit(accumulate_grads, donate_argnums=(0, 1))
+    scale_fn = jax.jit(scale_grads, donate_argnums=(0,))
 
     def get_step_fn(num_tokens: int):
         if num_tokens not in step_cache:
@@ -101,10 +145,26 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
             step_cache[num_tokens] = jax.jit(fn, donate_argnums=(0,))
         return step_cache[num_tokens]
 
+    def get_grad_fn(num_tokens: int):
+        if num_tokens not in grad_cache:
+            fn = make_grad_step(model.module, config["loss"], label_types, num_tokens)
+            grad_cache[num_tokens] = jax.jit(fn)
+        return grad_cache[num_tokens]
+
     # quantize sampled image sizes to bound recompiles
     data_config = dict(config["data"])
 
-    pipe = TrainDataLoaderPipeline(data_config, batch_size_forward)
+    # Each host feeds its share of the GLOBAL forward batch (reference: DDP
+    # ranks each load their own batch; effective batch = fwd x accum x procs,
+    # train.py:95). Identical seeding keeps per-step (num_tokens, image size)
+    # choices in lockstep across hosts with no runtime collective.
+    local_batch_size = batch_size_forward
+    if multihost:
+        assert batch_size_forward % jax.process_count() == 0, (
+            f"global batch {batch_size_forward} not divisible by {jax.process_count()} hosts")
+        local_batch_size = batch_size_forward // jax.process_count()
+
+    pipe = TrainDataLoaderPipeline(data_config, local_batch_size)
     # monkey-patch size quantization into the sampler
     orig_sample = pipe._sample_batch
 
@@ -119,7 +179,35 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
 
     low_res_steps = config.get("low_resolution_training_steps", 0)
     records = []
-    rng_key = jax.random.PRNGKey(seed)
+
+    def next_batch():
+        """Pull batches until one has a non-invalid instance (reference
+        train.py:278-279 skips all-invalid batches without counting them
+        toward the accumulation)."""
+        while True:
+            batch_np = pipe.get()
+            if not all(lt == "invalid" for lt in batch_np["label_type"]):
+                return batch_np
+
+    def to_device(batch_np):
+        batch = {
+            "image": np.asarray(batch_np["image"]),
+            "depth": np.asarray(batch_np["depth"]),
+            "normal": np.asarray(batch_np["normal"]),
+            "normal_mask": np.asarray(batch_np["normal_mask"]),
+            "depth_mask_fin": np.asarray(batch_np["depth_mask_fin"]),
+            "depth_mask_inf": np.asarray(batch_np["depth_mask_inf"]),
+            "intrinsics": np.asarray(batch_np["intrinsics"]),
+            "label_type_idx": np.asarray(
+                [label_types.index(lt) if lt in label_types else label_types.index("invalid")
+                 for lt in batch_np["label_type"]], np.int32),
+            "is_metric": np.asarray(batch_np["is_metric"]),
+        }
+        if multihost:
+            # Stitch per-host local shards into global arrays (no cross-host
+            # data movement through this process).
+            return shard_host_batch(batch, mesh)
+        return shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
 
     with pipe:
         t_start = time.time()
@@ -130,36 +218,38 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
                 nt = random.randint(*num_tokens_range)
                 num_tokens = max(num_tokens_range[0], nt // num_tokens_quantum * num_tokens_quantum)
 
-            for _ in range(gradient_accumulation_steps):
-                batch_np = pipe.get()
-                if all(lt == "invalid" for lt in batch_np["label_type"]):
-                    continue
-                batch = {
-                    "image": jnp.asarray(batch_np["image"]),
-                    "depth": jnp.asarray(batch_np["depth"]),
-                    "normal": jnp.asarray(batch_np["normal"]),
-                    "normal_mask": jnp.asarray(batch_np["normal_mask"]),
-                    "depth_mask_fin": jnp.asarray(batch_np["depth_mask_fin"]),
-                    "depth_mask_inf": jnp.asarray(batch_np["depth_mask_inf"]),
-                    "intrinsics": jnp.asarray(batch_np["intrinsics"]),
-                    "label_type_idx": jnp.asarray(
-                        [label_types.index(lt) if lt in label_types else label_types.index("invalid")
-                         for lt in batch_np["label_type"]], jnp.int32),
-                    "is_metric": jnp.asarray(batch_np["is_metric"]),
-                }
-                batch = shard_batch(batch, mesh)
+            if gradient_accumulation_steps == 1:
+                batch = to_device(next_batch())
                 rng_key, sub = jax.random.split(rng_key)
                 with mesh:
                     state, metrics = get_step_fn(num_tokens)(state, batch, sub)
+                record = {k: float(v) for k, v in metrics.items()}
+            else:
+                # True gradient accumulation: average grads over micro-batches,
+                # ONE optimizer update (and one LR-schedule tick) per outer step
+                # (reference accelerator.accumulate, train.py:272-351).
+                grad_sum = None
+                micro_records = []
+                for _ in range(gradient_accumulation_steps):
+                    batch = to_device(next_batch())
+                    rng_key, sub = jax.random.split(rng_key)
+                    with mesh:
+                        grads, metrics = get_grad_fn(num_tokens)(state.params, batch, sub)
+                        grad_sum = grads if grad_sum is None else acc_fn(grad_sum, grads)
+                    micro_records.append({k: float(v) for k, v in metrics.items()})
+                with mesh:
+                    grads = scale_fn(grad_sum, float(gradient_accumulation_steps))
+                    state, grads_ok = apply_fn(state, grads)
+                record = key_average(micro_records)
+                record["grads_ok"] = float(grads_ok)
 
-            record = {k: float(v) for k, v in metrics.items()}
             if not np.isfinite(record.get("total", 0.0)):
                 # NaN-loss report (reference train.py:326-328); the NaN-grad
                 # skip already prevented the update.
                 print(f"NaN loss at step {i_step}: {record}")
             records.append(record)
 
-            if i_step % log_every == 0 or i_step == initial_step:
+            if (i_step % log_every == 0 or i_step == initial_step) and is_main_process:
                 avg = key_average(records)
                 elapsed = time.time() - t_start
                 print(f"step {i_step}: loss={avg.get('total', float('nan')):.4f} "
@@ -169,7 +259,7 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
                 t_start = time.time()
 
             # Periodic GT-vs-pred visualization dumps (reference train.py:426-454)
-            if vis_every and i_step % vis_every == 0:
+            if vis_every and i_step % vis_every == 0 and is_main_process:
                 import cv2
 
                 from ..utils.vis import colorize_depth
@@ -190,9 +280,13 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
 
             if i_step > 0 and (i_step % save_every == 0 or i_step == num_iterations - 1):
                 out = ckpt_dir / str(i_step)
-                save_native_checkpoint(out, config["model"],
-                                       jax.tree.map(np.asarray, state.params), step=i_step)
+                # Full training state (params + optimizer + EMA + step + rng,
+                # reference train.py:373-423); the params subtree doubles as a
+                # plain inference checkpoint.
+                save_train_checkpoint(out, config["model"], state, rng_key)
                 if state.ema_params is not None:
+                    # EMA weights additionally as a standalone inference
+                    # checkpoint (reference saves a separate `_ema` file).
                     save_native_checkpoint(Path(str(out) + "_ema"), config["model"],
                                            jax.tree.map(np.asarray, state.ema_params), step=i_step)
                 print(f"saved checkpoint at step {i_step} -> {out}")

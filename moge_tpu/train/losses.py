@@ -134,19 +134,22 @@ def affine_invariant_local_loss(
     k_w, k_sel = jax.random.split(key)
     anchor_weights = compute_anchor_sampling_weight(k_w, gt_points, gt_mask, radius_2d, radius_3d, num_test=64)
 
-    # joint-batch sampling over valid pixels (reference uses multinomial over
-    # the concatenated where(mask) selection, losses.py:136-138)
-    total = batch_size * height * width
-    p = (anchor_weights * gt_mask).reshape(total)
-    p_sum = p.sum()
-    p = jnp.where(p_sum > 0, p / jnp.maximum(p_sum, 1e-12), jnp.ones((total,)) / total)
-    num_total_patches = num_patches * batch_size
-    flat_sel = jax.random.choice(k_sel, total, (num_total_patches,), replace=True, p=p)
-    patch_batch_idx = flat_sel // (height * width)
-    rem = flat_sel % (height * width)
+    # Per-instance anchor sampling: the reference invokes this loss once per
+    # instance (train.py:305), so every instance draws exactly num_patches
+    # anchors from its OWN weight distribution — not num_patches*B from the
+    # joint batch distribution (which would give high-valid-mass instances
+    # more patches and possibly starve others).
+    hw = height * width
+    p = (anchor_weights * gt_mask).reshape(batch_size, hw)
+    p_sum = p.sum(axis=-1, keepdims=True)
+    p = jnp.where(p_sum > 0, p / jnp.maximum(p_sum, 1e-12), jnp.full((1, hw), 1.0 / hw))
+    sel_keys = jax.random.split(k_sel, batch_size)
+    rem = jax.vmap(
+        lambda k, pb: jax.random.choice(k, hw, (num_patches,), replace=True, p=pb)
+    )(sel_keys, p).reshape(-1)                                                           # (B*num_patches,)
+    patch_batch_idx = jnp.repeat(jnp.arange(batch_size), num_patches)
     patch_anchor_i, patch_anchor_j = rem // width, rem % width
 
-    ksz = 2 * radius_2d + 1
     di = jnp.arange(-radius_2d, radius_2d + 1)[:, None]
     dj = jnp.arange(-radius_2d, radius_2d + 1)[None, :]
     patch_i = di[None] + patch_anchor_i[:, None, None]
@@ -236,7 +239,12 @@ def normal_loss(points: jax.Array, gt_points: jax.Array) -> Tuple[jax.Array, Dic
     loss = 0.0
     for p, g, m in zip(pn, gn, masks):
         loss = loss + m * _smooth(jnp.clip(angle_diff_vec3(p, g), MIN_ANGLE, MAX_ANGLE), beta=BETA_RAD)
-    loss = loss.mean() / (4 * max(points.shape[-3:-1]))
+    # Per-instance (B,) reduction: the reference computes this loss per
+    # instance (train.py:296-325 calls normal_loss(points[i], gt_points[i])
+    # whose .mean() is over that instance's quads only), so the batched form
+    # must reduce over spatial dims only — the per-instance label_type weights
+    # are applied by the caller.
+    loss = loss.mean(axis=(-2, -1)) / (4 * max(points.shape[-3:-1]))
     return loss, {}
 
 

@@ -45,6 +45,20 @@ def _loss_weights_per_instance(loss_config: Dict[str, Dict], label_types: Sequen
         for name, spec in table.items():
             if name not in entries:
                 entries[name] = spec
+            else:
+                # The vectorized dispatch evaluates each loss name ONCE for the
+                # whole batch, so per-label_type variations of 'function' or
+                # 'params' for the same name cannot be honored (the reference
+                # evaluates each label type's own spec, train.py:296-325).
+                # Shipped configs use identical specs; reject anything else
+                # rather than silently using the first spec seen.
+                prev = {k: v for k, v in entries[name].items() if k != "weight"}
+                cur = {k: v for k, v in spec.items() if k != "weight"}
+                if prev != cur:
+                    raise ValueError(
+                        f"loss entry {name!r} has differing specs across label types "
+                        f"({prev} vs {cur}); only per-label_type 'weight' may vary"
+                    )
     weights = {
         name: jnp.asarray(
             [loss_config.get(lt, {}).get(name, {}).get("weight", 0.0) for lt in label_types],
@@ -140,24 +154,42 @@ def compute_losses(
     return total, metrics
 
 
-def make_train_step(
+def make_grad_step(
     module,
-    tx: optax.GradientTransformation,
     loss_config: Dict[str, Dict],
     label_types: Sequence[str],
     num_tokens: int,
-    ema_decay: float = 0.999,
 ) -> Callable:
-    """Build the jittable train step (NaN-grad skip + clip semantics of
-    reference train.py:339-357; clipping lives inside ``tx``)."""
+    """Build the jittable gradient step: forward + loss + grad, NO update.
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    Used standalone by the gradient-accumulation path (one call per
+    micro-batch, grads averaged across calls, one optimizer update per outer
+    step — matching the reference's accelerator.accumulate semantics,
+    train.py:272-351), and fused with :func:`make_apply_step` by
+    :func:`make_train_step` for the single-step fast path.
+    """
+
+    def grad_step(params, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(params):
             output = module.apply({"params": params}, batch["image"], num_tokens)
             return compute_losses(rng, output, batch, loss_config, label_types)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, metrics
 
+    return grad_step
+
+
+def make_apply_step(tx: optax.GradientTransformation, ema_decay: float = 0.999) -> Callable:
+    """Build the jittable update step: NaN-grad skip, optimizer update, EMA.
+
+    NaN-grad skip + clip semantics of reference train.py:339-357 (clipping
+    lives inside ``tx``); `tx.update` is invoked exactly once per call, so the
+    LR schedule count advances once per *outer* step regardless of how many
+    micro-batches produced ``grads``.
+    """
+
+    def apply_step(state: TrainState, grads):
         # NaN/Inf-grad skip (reference train.py:341-345)
         grads_ok = jnp.all(
             jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
@@ -181,8 +213,39 @@ def make_train_step(
         else:
             ema = None
 
-        metrics["grads_ok"] = grads_ok.astype(jnp.float32)
         new_state = TrainState(state.step + 1, new_params, new_opt_state, ema)
+        return new_state, grads_ok
+
+    return apply_step
+
+
+def accumulate_grads(acc, grads):
+    """Running sum of gradient pytrees (device-side, sharding-preserving)."""
+    return jax.tree.map(jnp.add, acc, grads)
+
+
+def scale_grads(grads, denom):
+    """Divide a gradient pytree by the micro-batch count (sum -> mean)."""
+    return jax.tree.map(lambda g: g / denom, grads)
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    loss_config: Dict[str, Dict],
+    label_types: Sequence[str],
+    num_tokens: int,
+    ema_decay: float = 0.999,
+) -> Callable:
+    """Build the fused jittable train step (grad + update in one XLA program;
+    the gradient-accumulation path uses the two pieces separately)."""
+    grad_step = make_grad_step(module, loss_config, label_types, num_tokens)
+    apply_step = make_apply_step(tx, ema_decay=ema_decay)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        grads, metrics = grad_step(state.params, batch, rng)
+        new_state, grads_ok = apply_step(state, grads)
+        metrics["grads_ok"] = grads_ok.astype(jnp.float32)
         return new_state, metrics
 
     return train_step

@@ -71,3 +71,208 @@ def test_dryrun_multichip_8_devices():
 
     assert len(jax.devices()) == 8
     __graft_entry__.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation & full-state checkpointing (on a tiny points model)
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn  # noqa: E402
+
+from moge_tpu.train.step import (accumulate_grads, init_train_state,  # noqa: E402
+                                 make_apply_step, make_grad_step,
+                                 make_train_step, scale_grads)
+
+
+class _TinyPointsModel(nn.Module):
+    """Minimal stand-in exposing the module.apply(params, image, num_tokens)
+    -> output-dict contract the train step expects."""
+
+    @nn.compact
+    def __call__(self, image, num_tokens):
+        x = nn.Conv(8, (3, 3))(image)
+        x = nn.gelu(x)
+        points = nn.Conv(3, (3, 3))(x)
+        mask = jax.nn.sigmoid(nn.Conv(1, (3, 3))(x)[..., 0])
+        return {"points": points, "mask": mask}
+
+
+_LOSS_CONFIG = {
+    "invalid": {},
+    "A": {
+        "global": {"function": "affine_invariant_global_loss", "weight": 1.0,
+                   "params": {"align_resolution": 8}},
+        "mask": {"function": "mask_bce_loss", "weight": 0.1},
+    },
+    "B": {
+        "global": {"function": "affine_invariant_global_loss", "weight": 0.5,
+                   "params": {"align_resolution": 8}},
+    },
+}
+_LABEL_TYPES = ["A", "B", "invalid"]
+
+
+def _tiny_batch(rng, b=4, h=16, w=16):
+    depth = rng.uniform(1, 5, (b, h, w)).astype(np.float32)
+    return {
+        "image": jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)), jnp.float32),
+        "depth": jnp.asarray(depth),
+        "normal": jnp.zeros((b, h, w, 3), jnp.float32),
+        "normal_mask": jnp.ones((b, h, w), bool),
+        "depth_mask_fin": jnp.asarray(rng.uniform(0, 1, (b, h, w)) > 0.1),
+        "depth_mask_inf": jnp.zeros((b, h, w), bool),
+        "intrinsics": jnp.broadcast_to(
+            jnp.asarray([[1.0, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1.0]], jnp.float32), (b, 3, 3)),
+        "label_type_idx": jnp.asarray(rng.integers(0, 2, (b,)), jnp.int32),
+        "is_metric": jnp.zeros((b,), bool),
+    }
+
+
+def _tiny_setup(lr_scheduler=None, enable_ema=True, seed=0):
+    module = _TinyPointsModel()
+    rng = np.random.default_rng(seed)
+    image = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    params = module.init(jax.random.PRNGKey(seed), image, 0)["params"]
+    opt_cfg = {"type": "AdamW", "params": [{"params": {"include": ["*"]}, "lr": 1e-2}]}
+    tx = build_optimizer(params, opt_cfg, lr_scheduler)
+    state = init_train_state(params, tx, enable_ema=enable_ema)
+    return module, tx, state
+
+
+def test_gradient_accumulation_equals_full_batch():
+    """accum=2 over two half-batches must equal ONE full-batch optimizer step
+    (mean-of-grads), with the LR schedule advancing once per outer step
+    (reference accelerator.accumulate, train.py:272-351). The count-dependent
+    schedule makes any double-ticking of the schedule visible in the params."""
+    sched = {"type": "LambdaLR", "params": {"lr_lambda": "0.5 ** epoch"}}
+    rng = np.random.default_rng(7)
+    batches = [_tiny_batch(rng) for _ in range(2)]
+    keys = [jax.random.PRNGKey(100 + i) for i in range(2)]
+
+    # Path 1: two full-batch fused steps.
+    module, tx, state_a = _tiny_setup(sched)
+    step_fn = jax.jit(make_train_step(module, tx, _LOSS_CONFIG, _LABEL_TYPES, 0))
+    for b, k in zip(batches, keys):
+        state_a, _ = step_fn(state_a, b, k)
+
+    # Path 2: same data as 2 outer steps x accum=2 half-batches.
+    module, tx, state_b = _tiny_setup(sched)
+    grad_fn = jax.jit(make_grad_step(module, _LOSS_CONFIG, _LABEL_TYPES, 0))
+    apply_fn = jax.jit(make_apply_step(tx))
+    for b, k in zip(batches, keys):
+        halves = [
+            {kk: v[:2] for kk, v in b.items()},
+            {kk: v[2:] for kk, v in b.items()},
+        ]
+        grad_sum = None
+        for half in halves:
+            grads, _ = grad_fn(state_b.params, half, k)
+            grad_sum = grads if grad_sum is None else accumulate_grads(grad_sum, grads)
+        state_b, grads_ok = apply_fn(state_b, scale_grads(grad_sum, 2.0))
+        assert bool(grads_ok)
+
+    assert int(state_a.step) == int(state_b.step) == 2
+    for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=2e-5, atol=1e-7)
+    for ea, eb in zip(jax.tree.leaves(state_a.ema_params), jax.tree.leaves(state_b.ema_params)):
+        np.testing.assert_allclose(np.asarray(ea), np.asarray(eb), rtol=2e-5, atol=1e-7)
+
+
+def test_nan_microbatch_poisons_accumulated_step():
+    """A NaN gradient in any micro-batch must skip the whole outer update
+    (reference train.py:341-345)."""
+    module, tx, state = _tiny_setup(None)
+    grad_fn = jax.jit(make_grad_step(module, _LOSS_CONFIG, _LABEL_TYPES, 0))
+    apply_fn = jax.jit(make_apply_step(tx))
+    rng = np.random.default_rng(8)
+    good = _tiny_batch(rng)
+    bad = dict(good)
+    bad["image"] = good["image"].at[0, 0, 0, 0].set(jnp.nan)
+    g1, _ = grad_fn(state.params, good, jax.random.PRNGKey(0))
+    g2, _ = grad_fn(state.params, bad, jax.random.PRNGKey(1))
+    grads = scale_grads(accumulate_grads(g1, g2), 2.0)
+    new_state, grads_ok = apply_fn(state, grads)
+    assert not bool(grads_ok)
+    for old, new in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_full_train_state_checkpoint_resume(tmp_path):
+    """Train 4 steps / save at 2 / resume -> bit-identical params, EMA, and
+    optimizer state vs the uninterrupted run (VERDICT item 4; reference
+    train.py:143-207,373-423 restores step+optimizer+lr_scheduler+EMA)."""
+    from moge_tpu.models.io import load_train_checkpoint, save_train_checkpoint
+
+    sched = {"type": "LambdaLR", "params": {"lr_lambda": "0.9 ** epoch"}}
+    rng = np.random.default_rng(9)
+    batches = [_tiny_batch(rng) for _ in range(4)]
+
+    module, tx, state = _tiny_setup(sched)
+    step_fn = jax.jit(make_train_step(module, tx, _LOSS_CONFIG, _LABEL_TYPES, 0))
+
+    # Uninterrupted run, saving at step 2.
+    rng_key = jax.random.PRNGKey(42)
+    for i, b in enumerate(batches):
+        rng_key, sub = jax.random.split(rng_key)
+        state, _ = step_fn(state, b, sub)
+        if i == 1:
+            save_train_checkpoint(tmp_path / "ckpt", {"tiny": True}, state, rng_key)
+            saved_key = rng_key
+    final_a = state
+
+    # Resumed run: fresh template, restore, replay steps 3-4.
+    module, tx, state_b = _tiny_setup(sched)
+    step_fn_b = jax.jit(make_train_step(module, tx, _LOSS_CONFIG, _LABEL_TYPES, 0))
+    cfg, state_b, rng_key_b = load_train_checkpoint(
+        tmp_path / "ckpt", state_b, jax.random.PRNGKey(0))
+    assert cfg == {"tiny": True}
+    assert int(state_b.step) == 2
+    np.testing.assert_array_equal(np.asarray(rng_key_b), np.asarray(saved_key))
+    for b in batches[2:]:
+        rng_key_b, sub = jax.random.split(rng_key_b)
+        state_b, _ = step_fn_b(state_b, b, sub)
+
+    assert int(final_a.step) == int(state_b.step) == 4
+    for pa, pb in zip(jax.tree.leaves(final_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for ea, eb in zip(jax.tree.leaves(final_a.ema_params), jax.tree.leaves(state_b.ema_params)):
+        np.testing.assert_array_equal(np.asarray(ea), np.asarray(eb))
+    for oa, ob in zip(jax.tree.leaves(final_a.opt_state), jax.tree.leaves(state_b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_params_only_checkpoint_fallback(tmp_path):
+    """A params-only native checkpoint still resumes (fresh optimizer) with a
+    warning rather than crashing."""
+    from moge_tpu.models.io import load_train_checkpoint, save_native_checkpoint
+
+    module, tx, state = _tiny_setup(None)
+    save_native_checkpoint(tmp_path / "old", {"tiny": 1},
+                           jax.tree.map(np.asarray, state.params), step=7)
+    module, tx, state_b = _tiny_setup(None, seed=1)  # different init
+    cfg, restored, rng_key = load_train_checkpoint(tmp_path / "old", state_b, jax.random.PRNGKey(3))
+    assert int(restored.step) == 7
+    for pa, pb in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_loss_spec_mismatch_rejected():
+    """Differing per-label_type specs for the same loss name must raise (the
+    vectorized dispatch cannot honor them; ADVICE round-1 low finding)."""
+    from moge_tpu.train.step import _loss_weights_per_instance
+
+    bad = {
+        "A": {"global": {"function": "affine_invariant_global_loss", "weight": 1.0,
+                         "params": {"align_resolution": 8}}},
+        "B": {"global": {"function": "affine_invariant_global_loss", "weight": 0.5,
+                         "params": {"align_resolution": 16}}},
+    }
+    with pytest.raises(ValueError, match="differing specs"):
+        _loss_weights_per_instance(bad, ["A", "B"])
+    ok = {
+        "A": {"global": {"function": "affine_invariant_global_loss", "weight": 1.0,
+                         "params": {"align_resolution": 8}}},
+        "B": {"global": {"function": "affine_invariant_global_loss", "weight": 0.5,
+                         "params": {"align_resolution": 8}}},
+    }
+    _loss_weights_per_instance(ok, ["A", "B"])  # weight-only variation is fine
