@@ -49,7 +49,16 @@ def main(ctx: click.Context, baseline_code_path: str, config_path: str, oracle_m
                         pred = baseline.infer_for_evaluation(image, gt_intrinsics)
                     else:
                         pred = baseline.infer_for_evaluation(image)
-                    # force materialization for honest timing (JAX is async)
+                    # Device-sync bracket, mirroring the reference's
+                    # torch.cuda.synchronize() (eval_baseline.py:65-71): JAX
+                    # dispatch is async, so block on the outputs and then
+                    # read every array back to host INSIDE the timer —
+                    # np.asarray is the only readback that provably waits on
+                    # all backends (block_until_ready alone can return early
+                    # over remote-device tunnels).
+                    for v in pred.values():
+                        if hasattr(v, "block_until_ready"):
+                            v.block_until_ready()
                     pred = {k: np.asarray(v) for k, v in pred.items()}
 
                 metrics, misc = compute_metrics(pred, sample, vis=dump_pred or dump_gt)

@@ -142,6 +142,12 @@ def test_webzipfile_range_reads(tmp_path):
 
     class FakeSession:
         headers: dict = {}
+        allow_head = True
+
+        def head(self, url, allow_redirects=False):
+            resp = FakeResponse(b"", {"Content-Length": str(len(raw))} if self.allow_head else {})
+            resp.ok = self.allow_head
+            return resp
 
         def get(self, url, headers=None, stream=False):
             headers = headers or {}
@@ -149,7 +155,12 @@ def test_webzipfile_range_reads(tmp_path):
                 rng = headers["Range"].split("=")[1]
                 lo, hi = rng.split("-")
                 lo, hi = int(lo), int(hi)
-                return FakeResponse(raw[lo : hi + 1], {"Content-Length": str(hi + 1 - lo)})
+                hi = min(hi, len(raw) - 1)
+                return FakeResponse(
+                    raw[lo : hi + 1],
+                    {"Content-Length": str(hi + 1 - lo),
+                     "Content-Range": f"bytes {lo}-{hi}/{len(raw)}"},
+                )
             return FakeResponse(raw, {"Content-Length": str(len(raw))})
 
     from moge_tpu.utils.webzipfile import WebZipFile
@@ -159,3 +170,20 @@ def test_webzipfile_range_reads(tmp_path):
     assert json.loads(wz.read("a/meta.json")) == {"x": 1}
     assert wz.read("a/data.bin") == bytes(range(256)) * 100
     assert wz.read("stored.bin") == b"hello world"
+
+    # WebFile itself: seek/tell/read semantics and the no-HEAD fallback.
+    from moge_tpu.utils.webfile import WebFile
+
+    f = WebFile("http://fake/data.zip", session=FakeSession())
+    assert f.size == len(raw)
+    assert f.read(10) == raw[:10] and f.tell() == 10
+    assert f.seek(-5, io.SEEK_END) == len(raw) - 5
+    assert f.read() == raw[-5:]
+    assert f.read(4) == b""  # EOF
+    assert f.seek(0) == 0 and f.available() == len(raw)
+
+    no_head = FakeSession()
+    no_head.allow_head = False
+    f2 = WebFile("http://fake/data.zip", session=no_head)
+    assert f2.size == len(raw)  # via Content-Range probe
+    assert f2.read(3) == raw[:3]
