@@ -72,13 +72,14 @@ def _np_masked_nearest_resize(*images, mask, size):
 
 
 def _np_masked_nearest_index(mask, size):
-    """(src_i, src_j) index maps for a 2D mask (mirrors moge_tpu return_index)."""
-    import jax.numpy as jnp
-
-    from moge_tpu.ops.geometry import masked_nearest_resize
-
-    _, idx = masked_nearest_resize(mask=jnp.asarray(mask), size=size, return_index=True)
-    return np.asarray(idx[0]), np.asarray(idx[1])
+    """(src_i, src_j) index maps for a 2D mask — computed here in numpy (NOT
+    routed through moge_tpu, so reference-vs-repo comparisons stay
+    non-circular; see tests/test_oracles.py for the brute-force oracle both
+    sides are checked against)."""
+    i_grid = np.broadcast_to(np.arange(mask.shape[-2])[:, None], mask.shape[-2:])
+    j_grid = np.broadcast_to(np.arange(mask.shape[-1])[None, :], mask.shape[-2:])
+    src_i, src_j, _ = _np_masked_nearest_resize(i_grid, j_grid, mask=mask, size=size)
+    return src_i.astype(np.int64), src_j.astype(np.int64)
 
 
 def install_utils3d_stub():
