@@ -170,6 +170,60 @@ def grad_equation(width: int, height: int, wrap_x: bool = False, wrap_y: bool = 
     return csr_array((data, indices, indptr), shape=(n_rows, height * width))
 
 
+def _solve_merge_cg(gx, gy, lap, mgx, mgy, ml, x0, maxiter: int = 300):
+    """Jit-compiled conjugate-gradient solve of the merge normal equations.
+
+    The lsmr system rows are (masked) x/y log-distance gradients plus (masked)
+    5-point Laplacians on the equirectangular grid (wrap in x, edge-clamp in
+    y). Instead of materializing the sparse matrix, CG runs on matrix-free
+    stencil matvecs — jnp.roll for the x-wrap, concat-clamp for y — so the
+    whole solve is one XLA program on device. The system's nullspace (global
+    additive log constant = scale gauge) is never entered by CG, matching
+    lsmr's stay-near-x0 behavior.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def Gx(u):
+        return u - jnp.roll(u, -1, axis=1)
+
+    def GxT(r):
+        return r - jnp.roll(r, 1, axis=1)
+
+    def Gy(u):
+        return u[:-1, :] - u[1:, :]
+
+    def GyT(r):
+        z = jnp.zeros((1, r.shape[1]), r.dtype)
+        return jnp.concatenate([r, z], 0) - jnp.concatenate([z, r], 0)
+
+    def Lap(u):
+        up = jnp.concatenate([u[:1], u[:-1]], 0)
+        dn = jnp.concatenate([u[1:], u[-1:]], 0)
+        return -4 * u + up + dn + jnp.roll(u, 1, axis=1) + jnp.roll(u, -1, axis=1)
+
+    def LapT(r):
+        up_t = jnp.concatenate([r[1:], jnp.zeros((1, r.shape[1]), r.dtype)], 0).at[0].add(r[0])
+        dn_t = jnp.concatenate([jnp.zeros((1, r.shape[1]), r.dtype), r[:-1]], 0).at[-1].add(r[-1])
+        return -4 * r + up_t + dn_t + jnp.roll(r, -1, axis=1) + jnp.roll(r, 1, axis=1)
+
+    @jax.jit
+    def solve(gx, gy, lap, mgx, mgy, ml, x0):
+        def ata(u):
+            return GxT(mgx * Gx(u)) + GyT(mgy * Gy(u)) + LapT(ml * Lap(u))
+
+        atb = GxT(mgx * gx) + GyT(mgy * gy) + LapT(ml * lap)
+        x, _ = jax.scipy.sparse.linalg.cg(ata, atb, x0=x0, maxiter=maxiter, tol=1e-7)
+        return x
+
+    f32 = jnp.float32
+    return np.asarray(solve(
+        jnp.asarray(gx, f32), jnp.asarray(gy, f32), jnp.asarray(lap, f32),
+        jnp.asarray(mgx, f32), jnp.asarray(mgy, f32), jnp.asarray(ml, f32),
+        jnp.asarray(x0, f32),
+    ))
+
+
 def merge_panorama_depth(
     width: int,
     height: int,
@@ -177,11 +231,18 @@ def merge_panorama_depth(
     pred_masks: List[np.ndarray],
     extrinsics: List[np.ndarray],
     intrinsics: List[np.ndarray],
+    solver: str = "lsmr",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Gradient-domain merge of per-view log distances (reference :105-190)."""
+    """Gradient-domain merge of per-view log distances (reference :105-190).
+
+    ``solver``: "lsmr" = host scipy sparse LSMR (bit-comparable to the
+    reference); "cg" = on-device jit CG on the normal equations (same system,
+    matrix-free stencils; faster at large merge resolutions).
+    """
     if max(width, height) > 256:
         panorama_depth_init, _ = merge_panorama_depth(
-            width // 2, height // 2, distance_maps, pred_masks, extrinsics, intrinsics
+            width // 2, height // 2, distance_maps, pred_masks, extrinsics, intrinsics,
+            solver=solver,
         )
         panorama_depth_init = cv2.resize(panorama_depth_init, (width, height), interpolation=cv2.INTER_LINEAR)
     else:
@@ -232,23 +293,39 @@ def merge_panorama_depth(
 
     grad_x_mask = np.any(mx, axis=0).reshape(-1)
     grad_y_mask = np.any(my, axis=0).reshape(-1)
-    grad_mask = np.concatenate([grad_x_mask, grad_y_mask])
     laplacian_mask = np.any(lmasks, axis=0).reshape(-1)
 
-    A = vstack([
-        grad_equation(width, height, wrap_x=True, wrap_y=False)[grad_mask],
-        poisson_equation(width, height, wrap_x=True, wrap_y=False)[laplacian_mask],
-    ])
-    b = np.concatenate([
-        gx.reshape(-1)[grad_x_mask],
-        gy.reshape(-1)[grad_y_mask],
-        lap.reshape(-1)[laplacian_mask],
-    ])
-    x, *_ = lsmr(
-        A, b, atol=1e-5, btol=1e-5,
-        x0=np.log(panorama_depth_init).reshape(-1) if panorama_depth_init is not None else None,
-        show=False,
-    )
+    if solver == "cg":
+        x0 = np.log(panorama_depth_init) if panorama_depth_init is not None else np.zeros((height, width), np.float32)
+        # The y-gradient rows were formed on the x-wrap-padded grid (width+1
+        # columns, column `width` == column 0), so in the normal equations a
+        # masked duplicate row is exactly a doubled weight on column 0.
+        wy = grad_y_mask.reshape(height - 1, width + 1).astype(np.float32)
+        wy_eff = wy[:, :width].copy()
+        wy_eff[:, 0] += wy[:, width]
+        x = _solve_merge_cg(
+            gx, gy[:, :width], lap,
+            grad_x_mask.reshape(height, width).astype(np.float32),
+            wy_eff,
+            laplacian_mask.reshape(height, width).astype(np.float32),
+            x0,
+        ).reshape(-1)
+    else:
+        grad_mask = np.concatenate([grad_x_mask, grad_y_mask])
+        A = vstack([
+            grad_equation(width, height, wrap_x=True, wrap_y=False)[grad_mask],
+            poisson_equation(width, height, wrap_x=True, wrap_y=False)[laplacian_mask],
+        ])
+        b = np.concatenate([
+            gx.reshape(-1)[grad_x_mask],
+            gy.reshape(-1)[grad_y_mask],
+            lap.reshape(-1)[laplacian_mask],
+        ])
+        x, *_ = lsmr(
+            A, b, atol=1e-5, btol=1e-5,
+            x0=np.log(panorama_depth_init).reshape(-1) if panorama_depth_init is not None else None,
+            show=False,
+        )
     panorama_depth = np.exp(x).reshape(height, width).astype(np.float32)
     panorama_mask = np.any(panorama_pred_masks, axis=0)
     return panorama_depth, panorama_mask

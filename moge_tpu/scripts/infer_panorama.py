@@ -18,14 +18,15 @@ import click
 @click.option("--resize", "resize_to", type=int, default=None, help="Resize the panorama before processing.")
 @click.option("--resolution_level", type=int, default=9, help="Resolution level [0-9].")
 @click.option("--threshold", type=float, default=0.03, help="Edge threshold for mesh export.")
-@click.option("--batch_size", type=int, default=4, help="Batch size for per-view inference.")
+@click.option("--batch_size", type=int, default=12, help="Batch size for per-view inference (12 = the whole icosahedral rig in ONE device call / one compile).")
+@click.option("--merge_solver", type=click.Choice(["lsmr", "cg"]), default="lsmr", help="Poisson merge solver: host scipy LSMR (reference parity) or on-device jit CG.")
 @click.option("--splitted", "save_splitted", is_flag=True, help="Save the splitted views.")
 @click.option("--maps", "save_maps_", is_flag=True, help="Save output maps.")
 @click.option("--glb", "save_glb_", is_flag=True, help="Save textured .glb mesh.")
 @click.option("--ply", "save_ply_", is_flag=True, help="Save .ply mesh.")
 @click.option("--show", "show", is_flag=True, help="(Unsupported headless.)")
 def main(input_path, output_path, pretrained_model_name_or_path, model_version, device_name, resize_to,
-         resolution_level, threshold, batch_size, save_splitted, save_maps_, save_glb_, save_ply_, show):
+         resolution_level, threshold, batch_size, merge_solver, save_splitted, save_maps_, save_glb_, save_ply_, show):
     import cv2
     import numpy as np
     import jax.numpy as jnp
@@ -94,7 +95,8 @@ def main(input_path, output_path, pretrained_model_name_or_path, model_version, 
 
         merging_width, merging_height = min(1920, width), min(960, height)
         panorama_depth, panorama_mask = merge_panorama_depth(
-            merging_width, merging_height, splitted_distance_maps, splitted_masks, extrinsics, intrinsics_list
+            merging_width, merging_height, splitted_distance_maps, splitted_masks, extrinsics, intrinsics_list,
+            solver=merge_solver,
         )
         panorama_depth = cv2.resize(panorama_depth.astype(np.float32), (width, height), interpolation=cv2.INTER_LINEAR)
         panorama_mask = cv2.resize(panorama_mask.astype(np.uint8), (width, height), interpolation=cv2.INTER_NEAREST) > 0

@@ -73,3 +73,36 @@ def test_merge_panorama_depth_recovers_smooth_field():
     rel = np.abs(merged * scale - gt) / gt
     assert np.median(rel) < 0.02
     assert rel.mean() < 0.05
+
+
+def test_merge_cg_matches_lsmr():
+    """The on-device jit CG merge must agree with the host LSMR merge (same
+    normal equations; VERDICT round-1 weak #6 stretch goal). Includes partial
+    masks so masked-row handling and the wrap-column weight are exercised."""
+    from moge_tpu.utils.geometry_numpy import uv_map_numpy
+
+    extrinsics, intrinsics = pano.get_panorama_cameras()
+    res = 48
+    uv = uv_map_numpy(res, res)
+    rng = np.random.default_rng(0)
+    distance_maps, masks = [], []
+    for vi, (E, K) in enumerate(zip(extrinsics, intrinsics)):
+        d = pano._unproject(uv, E, K)
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        distance_maps.append(_smooth_distance(d).astype(np.float32))
+        m = np.ones((res, res), bool)
+        if vi % 3 == 0:  # knock out a block in every third view
+            m[8:20, 10:30] = False
+        masks.append(m)
+
+    width, height = 128, 64
+    merged_lsmr, mask_lsmr = pano.merge_panorama_depth(
+        width, height, distance_maps, masks, list(extrinsics), intrinsics, solver="lsmr"
+    )
+    merged_cg, mask_cg = pano.merge_panorama_depth(
+        width, height, distance_maps, masks, list(extrinsics), intrinsics, solver="cg"
+    )
+    np.testing.assert_array_equal(mask_cg, mask_lsmr)
+    rel = np.abs(merged_cg - merged_lsmr) / merged_lsmr
+    assert np.median(rel) < 1e-3, float(np.median(rel))
+    assert rel.max() < 0.02, float(rel.max())
