@@ -1,17 +1,24 @@
-"""Benchmark: MoGe-2 ViT-L full inference (forward + on-device camera recovery).
+"""Benchmark: MoGe on one TPU chip, end to end (forward + on-device camera
+recovery — the same work ``MoGeModel.infer()`` does for a user).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's ~60 ms/image for ViT-L fp16 on A100/RTX3090
-(reference README.md:34; see BASELINE.md).
+stdout: ONE JSON line (driver contract) — the headline metric, MoGe-2 ViT-L
+p50 ms/image at 518x518 bf16 batch 1, vs the reference's ~60 ms/image for
+ViT-L fp16 on A100/RTX3090 (reference README.md:34; see BASELINE.md).
 
-Measured: wall-clock per image at 518x518 (DINOv2 native resolution), bf16,
-batch 1, including depth/intrinsics recovery — the same work
-`MoGeModel.infer()` does for a user, end to end on one TPU chip.
+stderr + BENCH_FULL.json: the breadth matrix BASELINE.md's north star asks
+for — batched images/sec/chip, MoGe-2 ViT-S/B rows, MoGe-1 ViT-L, and a
+num_tokens/aspect sweep.
 
-Methodology note: on this environment `block_until_ready` does not actually
-wait (remote tunnel), so we dispatch N back-to-back calls (device executes
-them serially) and force a single scalar readback at the end; per-image time
-is total/N with the one-off tunnel round-trip amortized.
+Env knobs:
+  MOGE_BENCH_QUICK=1  headline only (fastest; skips the matrix)
+  MOGE_BENCH_FULL=1   adds MoGe-1 + aspect 2:1/1:2 + num_tokens sweep
+                      (more XLA compiles; use with a warm compile cache)
+  MOGE_PROFILE_DIR    dump a jax.profiler trace of the headline loop
+
+Methodology: on this environment ``block_until_ready`` does not actually wait
+(remote tunnel), so each measurement dispatches N back-to-back calls (device
+executes serially) and forces ONE scalar readback at the end; per-image time
+is total/N with the tunnel round-trip amortized. p50 over repeats.
 """
 
 import json
@@ -21,9 +28,57 @@ import time
 
 import numpy as np
 
+BASELINE_MS = 60.0  # reference ViT-L fp16 on A100 (README.md:34)
+
+
+def _bench_fn(fn, args, n, reps=3):
+    """Median per-call milliseconds: n serial dispatches + 1 readback."""
+    float(fn(*args))  # compile + warm
+    per_call = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = fn(*args)
+        float(s)  # readback blocks until all n executions complete
+        per_call.append((time.perf_counter() - t0) / n * 1e3)
+    return float(np.median(per_call))
+
+
+def _checksum_v2(model, num_tokens, aspect_ratio):
+    import jax
+    import jax.numpy as jnp
+
+    from moge_tpu.models.v2 import postprocess
+
+    @jax.jit
+    def fn(params, image):
+        raw = model.module.apply({"params": params}, image, num_tokens)
+        out = postprocess(raw, aspect_ratio=aspect_ratio)
+        # Scalar checksum forces full materialization on readback.
+        return jnp.sum(jnp.where(jnp.isfinite(out["depth"]), out["depth"], 0.0)) + out["intrinsics"][0, 0, 0]
+
+    return fn
+
+
+def _checksum_v1(model, num_tokens):
+    import jax
+    import jax.numpy as jnp
+
+    infer = model._infer_fn((num_tokens, 1.0, False, True, True))
+
+    @jax.jit
+    def fn(params, image, fov):
+        out = infer(params, image, fov)
+        return jnp.sum(jnp.where(jnp.isfinite(out["depth"]), out["depth"], 0.0)) + out["intrinsics"][0, 0, 0]
+
+    return fn
+
 
 def main():
-    profile_dir = os.environ.get("MOGE_PROFILE_DIR")  # optional jax.profiler trace
+    profile_dir = os.environ.get("MOGE_PROFILE_DIR")
+    quick = os.environ.get("MOGE_BENCH_QUICK") == "1"
+    full = os.environ.get("MOGE_BENCH_FULL") == "1"
+
     import jax
     import jax.numpy as jnp
 
@@ -33,50 +88,99 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from moge_tpu.models.presets import get_preset
-    from moge_tpu.models.v2 import MoGeModel, postprocess
-
-    preset = get_preset("moge-2-vitl-normal")
-    model = MoGeModel(preset["config"], None, dtype=jnp.bfloat16)
-    model.init_random(seed=0, image_hw=(518, 518))
-    num_tokens = (518 // 14) * (518 // 14)  # 1369: area-preserving token count
-
-    @jax.jit
-    def infer_checksum(params, image):
-        raw = model.module.apply({"params": params}, image, num_tokens)
-        out = postprocess(raw, aspect_ratio=1.0)
-        # Scalar checksum forces full materialization on readback.
-        return jnp.sum(jnp.where(jnp.isfinite(out["depth"]), out["depth"], 0.0)) + out["intrinsics"][0, 0, 0]
+    from moge_tpu.models.v2 import MoGeModel as MoGeModelV2
 
     rng = np.random.default_rng(0)
-    images = [jnp.asarray(rng.uniform(0, 1, (1, 518, 518, 3)), jnp.float32) for _ in range(8)]
 
-    float(infer_checksum(model.params, images[0]))  # compile + warm
+    def image_batch(b, h, w):
+        return jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)), jnp.float32)
 
-    reps = 3
-    n = 32
-    per_image = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for i in range(n):
-            s = infer_checksum(model.params, images[i % len(images)])
-        float(s)  # readback blocks until all n executions complete
-        per_image.append((time.perf_counter() - t0) / n * 1e3)
-    value = float(np.median(per_image))
+    rows = []
+
+    def add_row(metric, value, unit, vs=None):
+        row = {"metric": metric, "value": round(value, 3), "unit": unit}
+        if vs is not None:
+            row["vs_baseline"] = round(vs, 3)
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr, flush=True)
+
+    # ---- headline: MoGe-2 ViT-L, 518x518 (1369 tokens), bf16, batch 1 ----
+    preset = get_preset("moge-2-vitl-normal")
+    vitl = MoGeModelV2(preset["config"], None, dtype=jnp.bfloat16)
+    vitl.init_random(seed=0, image_hw=(518, 518))
+    nt_518 = (518 // 14) ** 2  # 1369: area-preserving token count
+
+    fn_vitl = _checksum_v2(vitl, nt_518, 1.0)
+    img1 = image_batch(1, 518, 518)
+    headline_ms = _bench_fn(fn_vitl, (vitl.params, img1), n=32)
+    add_row("moge2_vitl_infer_latency_518px_bf16_p50", headline_ms, "ms/image",
+            BASELINE_MS / headline_ms)
 
     if profile_dir:
         from moge_tpu.utils.tools import profile_trace
 
         with profile_trace(profile_dir):
-            for i in range(4):
-                s = infer_checksum(model.params, images[i])
+            for _ in range(4):
+                s = fn_vitl(vitl.params, img1)
             float(s)
 
-    baseline_ms = 60.0
+    if not quick:
+        # ---- batched throughput: images/sec/chip (BASELINE.md north star) ----
+        B = 8
+        imgB = image_batch(B, 518, 518)
+        ms_b = _bench_fn(fn_vitl, (vitl.params, imgB), n=8)
+        add_row("moge2_vitl_throughput_518px_bf16_b8", 1000.0 * B / ms_b, "images/sec/chip",
+                (1000.0 * B / ms_b) / (1000.0 / BASELINE_MS))
+        del imgB
+
+        # ---- model-size rows: ViT-B / ViT-S (MoGe-2) ----
+        for name, key in [("moge2_vitb", "moge-2-vitb-normal"), ("moge2_vits", "moge-2-vits-normal")]:
+            m = MoGeModelV2(get_preset(key)["config"], None, dtype=jnp.bfloat16)
+            m.init_random(seed=0, image_hw=(518, 518))
+            fn = _checksum_v2(m, nt_518, 1.0)
+            ms = _bench_fn(fn, (m.params, img1), n=32)
+            add_row(f"{name}_infer_latency_518px_bf16_p50", ms, "ms/image", BASELINE_MS / ms)
+            del m, fn
+
+    if full and not quick:
+        # ---- MoGe-1 ViT-L (token budget capped at 2500, v1.py:158) ----
+        from moge_tpu.models.v1 import MoGeModel as MoGeModelV1
+
+        v1 = MoGeModelV1(get_preset("moge-vitl")["config"], None, dtype=jnp.bfloat16)
+        v1.init_random(seed=0, image_hw=(518, 518))
+        fn1 = _checksum_v1(v1, nt_518)
+        ms1 = _bench_fn(fn1, (v1.params, img1, jnp.float32(0)), n=32)
+        add_row("moge1_vitl_infer_latency_518px_bf16_p50", ms1, "ms/image", BASELINE_MS / ms1)
+        del v1, fn1
+
+        # ---- aspect sweep at ~1369 tokens: 2:1 and 1:2 (driver config #3) ----
+        for label, (h, w) in [("2to1", (364, 728)), ("1to2", (728, 364))]:
+            base_h = round((nt_518 / (w / h)) ** 0.5)
+            base_w = round((nt_518 * (w / h)) ** 0.5)
+            fn = _checksum_v2(vitl, base_h * base_w, w / h)
+            ms = _bench_fn(fn, (vitl.params, image_batch(1, h, w)), n=16)
+            add_row(f"moge2_vitl_infer_latency_aspect_{label}_bf16_p50", ms, "ms/image",
+                    BASELINE_MS / ms)
+            del fn
+
+        # ---- num_tokens sweep (v2 budget 1200..3600, v2.py:38) ----
+        for nt in [1200, 2500, 3600]:
+            side = round((nt ** 0.5) * 14)
+            fn = _checksum_v2(vitl, nt, 1.0)
+            ms = _bench_fn(fn, (vitl.params, image_batch(1, side, side)), n=16)
+            add_row(f"moge2_vitl_infer_latency_{nt}tok_bf16_p50", ms, "ms/image",
+                    BASELINE_MS / ms)
+            del fn
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+    # Driver contract: exactly one JSON line on stdout — the headline.
     print(json.dumps({
         "metric": "moge2_vitl_infer_latency_518px_bf16",
-        "value": round(value, 3),
+        "value": round(headline_ms, 3),
         "unit": "ms/image",
-        "vs_baseline": round(baseline_ms / value, 3),
+        "vs_baseline": round(BASELINE_MS / headline_ms, 3),
     }))
 
 

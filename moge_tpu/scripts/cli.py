@@ -9,6 +9,7 @@ from .infer_panorama import main as infer_panorama_main
 from .eval_baseline import main as eval_baseline_main
 from .train import main as train_main
 from .vis_data import main as vis_data_main
+from .verify_pretrained import main as verify_pretrained_main
 
 
 @click.group(help="moge_tpu command line tools")
@@ -23,6 +24,7 @@ main.add_command(infer_panorama_main, name="infer_panorama")
 main.add_command(eval_baseline_main, name="eval_baseline")
 main.add_command(train_main, name="train")
 main.add_command(vis_data_main, name="vis_data")
+main.add_command(verify_pretrained_main, name="verify_pretrained")
 
 
 if __name__ == "__main__":
