@@ -111,6 +111,16 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     is_main_process = jax.process_index() == 0
     print(f"mesh: dp={mesh.shape['dp']} x fsdp={mesh.shape['fsdp']} "
           f"(process {jax.process_index()}/{jax.process_count()})")
+    if scan_blocks and mesh.shape["fsdp"] > 1 and mesh.devices.flat[0].platform == "cpu":
+        # The per-scan-iteration fsdp param all-gather deadlocks XLA:CPU's
+        # emulated collectives (rendezvous timeout — the CPU runtime executes
+        # the scan body per device without the cross-device schedule alignment
+        # real TPU ICI collectives get). Hard-stop instead of hanging; real
+        # TPU meshes are unaffected.
+        raise click.UsageError(
+            "--scan_blocks with --fsdp>1 deadlocks on virtual CPU meshes "
+            "(XLA:CPU collective emulation inside lax.scan); use --no_scan_blocks "
+            "here, or run this configuration on a real TPU mesh.")
     tx = build_optimizer(model.params, config["optimizer"], config.get("lr_scheduler"))
     params = shard_params(model.params, mesh)
     state = init_train_state(params, tx, enable_ema=enable_ema)
