@@ -93,7 +93,34 @@ def load_native_checkpoint(path) -> Tuple[Dict[str, Any], Any]:
     return meta["config"], params
 
 
-def save_train_checkpoint(path, config: Dict[str, Any], state, rng, max_retries: int = 5):
+_ASYNC_CKPTR = None
+
+
+def _shared_checkpointer():
+    """Module-lifetime StandardCheckpointer for async (non-blocking) saves.
+
+    orbax's StandardCheckpointer commits in a background thread; reusing one
+    instance lets a save overlap the next training steps (the reference saves
+    checkpoints from a ThreadPoolExecutor, train.py:219-226, 373-423). A
+    second save issued while one is in flight blocks until it finishes —
+    the same back-pressure the reference's single-worker executor gives.
+    """
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until all async checkpoint writes have committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_train_checkpoint(path, config: Dict[str, Any], state, rng, max_retries: int = 5,
+                          block: bool = True):
     """Save the FULL training state: params (in the native-checkpoint layout,
     so the directory doubles as an inference checkpoint) plus optimizer state,
     EMA params, step count, and the data RNG key.
@@ -120,10 +147,11 @@ def save_train_checkpoint(path, config: Dict[str, Any], state, rng, max_retries:
         try:
             path.mkdir(parents=True, exist_ok=True)
             (path / "model_config.json").write_text(json.dumps({"config": config, "step": step}))
-            ckptr = ocp.StandardCheckpointer()
+            ckptr = _shared_checkpointer() if not block else ocp.StandardCheckpointer()
             ckptr.save(path / "params", state.params, force=True)
             ckptr.save(path / "train_state", train_tree, force=True)
-            ckptr.wait_until_finished()
+            if block:
+                ckptr.wait_until_finished()
             return
         except (OSError, IOError) as e:  # transient storage failures
             last_err = e

@@ -25,6 +25,7 @@ import click
 @click.option("--save_every", type=int, default=5000)
 @click.option("--log_every", type=int, default=100)
 @click.option("--checkpoint", "checkpoint_arg", type=str, default=None, help='"latest", a step number, or a checkpoint path.')
+@click.option("--backbone_checkpoint", type=click.Path(exists=True), default=None, help="DINOv2 hub-format .pth to initialize the encoder backbone for a FRESH run (the reference's init_weights downloads this from dl.fbaipublicfiles.com, train.py:188-192; no egress here, so pass the file).")
 @click.option("--ema/--no-ema", "enable_ema", default=True)
 @click.option("--fsdp", type=int, default=1, help="FSDP (param-sharding) mesh axis size.")
 @click.option("--multihost", is_flag=True, help="Multi-host run: jax.distributed.initialize, mesh over ALL hosts' devices (dp across hosts/DCN, fsdp within host/ICI), per-host batch feeding. batch_size_forward is the GLOBAL batch.")
@@ -38,8 +39,8 @@ import click
 @click.option("--flash", "use_flash", is_flag=True, help="Use the pallas flash-attention kernel (custom VJP) in training.")
 @click.option("--scan_blocks/--no_scan_blocks", default=False, help="lax.scan over ViT blocks: much faster compiles. NOTE: with --fsdp>1 the per-iteration param all-gather can deadlock the *virtual CPU* collectives emulation; fine on real TPU meshes.")
 def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps, num_iterations,
-         save_every, log_every, checkpoint_arg, enable_ema, fsdp, multihost, coordinator_address,
-         num_processes, process_id, seed, num_tokens_quantum, image_size_quantum,
+         save_every, log_every, checkpoint_arg, backbone_checkpoint, enable_ema, fsdp, multihost,
+         coordinator_address, num_processes, process_id, seed, num_tokens_quantum, image_size_quantum,
          vis_every, use_flash, scan_blocks):
     if multihost:
         # Must run before any jax backend touch.
@@ -98,8 +99,38 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
         model.params = jax.tree.map(jnp.asarray, params)
     if model.params is None:
         model.init_random(seed=seed)
-        print("Initialized random weights (use a converted DINOv2 checkpoint via "
-              "moge_tpu.models.convert for pretrained backbone initialization)")
+        if backbone_checkpoint is not None:
+            # Pretrained-backbone init (reference init_weights, train.py:188-192):
+            # graft converted DINOv2 hub weights into the freshly-initialized tree.
+            from ..models.convert import convert_dinov2_backbone
+            from ..models.io import _read_torch_checkpoint
+
+            sd = _read_torch_checkpoint(backbone_checkpoint)
+            if isinstance(sd, dict) and "teacher" in sd:  # full SSL-training checkpoints
+                sd = sd["teacher"]
+            if isinstance(sd, dict) and "model" in sd and not any("blocks." in k for k in sd):
+                sd = sd["model"]
+            bb = convert_dinov2_backbone(sd, prefix="", stack_blocks=scan_blocks)
+
+            def graft(tree):
+                out = {}
+                for k, v in tree.items():
+                    if isinstance(v, dict) and "patch_kernel" in v:
+                        assert jax.tree.structure(v) == jax.tree.structure(
+                            jax.tree.map(np.asarray, bb)
+                        ), "backbone checkpoint does not match the configured architecture"
+                        out[k] = jax.tree.map(jnp.asarray, bb)
+                    elif isinstance(v, dict):
+                        out[k] = graft(v)
+                    else:
+                        out[k] = v
+                return out
+
+            model.params = graft(model.params)
+            print(f"Initialized backbone from {backbone_checkpoint}; heads random")
+        else:
+            print("Initialized random weights (pass --backbone_checkpoint for pretrained "
+                  "DINOv2 backbone initialization)")
 
     # ---- mesh / optimizer ----
     if multihost:
@@ -292,14 +323,21 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
                 out = ckpt_dir / str(i_step)
                 # Full training state (params + optimizer + EMA + step + rng,
                 # reference train.py:373-423); the params subtree doubles as a
-                # plain inference checkpoint.
-                save_train_checkpoint(out, config["model"], state, rng_key)
+                # plain inference checkpoint. Async: the device->host snapshot
+                # happens now, the write commits in the background while
+                # training continues (reference uses a ThreadPoolExecutor).
+                save_train_checkpoint(out, config["model"], state, rng_key, block=False)
                 if state.ema_params is not None:
                     # EMA weights additionally as a standalone inference
                     # checkpoint (reference saves a separate `_ema` file).
                     save_native_checkpoint(Path(str(out) + "_ema"), config["model"],
                                            jax.tree.map(np.asarray, state.ema_params), step=i_step)
                 print(f"saved checkpoint at step {i_step} -> {out}")
+
+    # Commit any in-flight async checkpoint writes before exiting.
+    from ..models.io import wait_for_checkpoints
+
+    wait_for_checkpoints()
 
 
 if __name__ == "__main__":

@@ -66,3 +66,45 @@ def test_load_pt_blocks_arbitrary_code(tmp_path):
     except Exception:
         raised = True
     assert raised
+
+
+def test_hub_backbone_init_graft(tmp_path):
+    """--backbone_checkpoint path: a hub-format DINOv2 state_dict (raw .pth,
+    reference init_weights downloads it, train.py:188-192) converts and grafts
+    into a randomly-initialized model's encoder.backbone subtree."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from ref_utils import add_reference_to_path
+
+    add_reference_to_path()
+    from moge.model.dinov2.hub import backbones as ref_backbones
+
+    import jax
+
+    from moge_tpu.models.convert import convert_dinov2_backbone
+
+    torch.manual_seed(0)
+    ref = ref_backbones.dinov2_vits14(pretrained=False)
+    path = tmp_path / "dinov2_vits14_pretrain.pth"
+    torch.save(ref.state_dict(), str(path))
+
+    sd = load_pt(path)  # torch-free read of the hub format
+    bb = convert_dinov2_backbone(sd, prefix="")
+
+    # graft-compatibility with a randomly initialized MoGe-2 using this arch
+    from moge_tpu.models.presets import get_preset
+    from moge_tpu.models.v2 import MoGeModel
+
+    model = MoGeModel(get_preset("moge-2-vits-normal")["config"], None, dtype=jnp.float32)
+    model.init_random(seed=0, image_hw=(126, 126))
+    rand_bb = model.params["encoder"]["backbone"]
+    assert jax.tree.structure(jax.tree.map(np.asarray, rand_bb)) == jax.tree.structure(
+        jax.tree.map(np.asarray, bb)
+    )
+    # a couple of value spot-checks against the torch tensors
+    np.testing.assert_allclose(
+        np.asarray(bb["cls_token"]), ref.cls_token.detach().numpy(), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(bb["blocks_3"]["attn"]["qkv"]["bias"]),
+        ref.blocks[3].attn.qkv.bias.detach().numpy(), atol=0)
