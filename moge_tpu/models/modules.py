@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.conv import conv3x3_replicate
 from ..ops.resize import resize_2d
 from ..ops.geometry import normalized_view_plane_uv
 from .dinov2 import VIT_ARCHS, DinoViT
@@ -80,13 +81,31 @@ class Norm2d(nn.Module):
         return group_norm_fp32(x, groups, scale, bias)
 
 
+class _Conv3x3(nn.Module):
+    """Parameter container matching nn.Conv's tree ({kernel, bias}) that
+    dispatches to the pallas pair-domain kernel for thin-channel bf16 convs
+    (see ops/conv.py) and the XLA formulation otherwise."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return conv3x3_replicate(x.astype(self.dtype), kernel, bias)
+
+
 class Conv2d(nn.Module):
     """NHWC conv with replicate padding (torch padding_mode='replicate').
 
-    NOTE: a shifted-matmul lowering for thin-channel convs was tried and
-    measured SLOWER end-to-end (32 vs 25 ms ViT-L infer) despite winning in
-    isolated microbenches — XLA's fused conv scheduling wins inside the real
-    program. Keep the plain conv.
+    k==3 routes through ops/conv.py (pallas pair-domain kernel on TPU for
+    C<128 where XLA runs at ~19 TF/s on v5e; XLA conv otherwise — it is
+    already at the MXU roofline for C>=128). Other kernel sizes keep the
+    plain XLA conv.
     """
 
     features: int
@@ -96,6 +115,8 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        if k == 3:
+            return _Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
         if k > 1:
             pad = k // 2
             x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="edge")

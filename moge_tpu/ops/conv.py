@@ -1,0 +1,219 @@
+"""Pallas TPU 3x3 replicate-pad convolution for thin-channel decoder levels.
+
+Why this exists: the MoGe ConvStack decoder (reference moge/model/modules.py:
+195-254) runs most of its FLOPs in 3x3 convs at large spatial sizes with SMALL
+channel counts (64 in / 64 or 32 out at the two finest pyramid levels). On
+TPU the lane (minor) dimension is 128 wide, so XLA's conv kernels execute
+C=64/O=64 shapes at ~19 TF/s on v5e while the same convs with C>=128 run at
+93-128 TF/s (measured; see docs/perf.md). This module fixes the thin-channel
+case with a pair-domain Pallas kernel and leaves C>=128 to XLA, which is
+already at the MXU roofline there.
+
+Kernel design ("group domain"): view the NHWC image as groups of g=128/C
+adjacent columns — a free reshape (B, H, W, C) -> (B, H, W/g, gC) — so lanes
+become gC = 128 (pairs for C=64, quads for C=32). A 3x3 conv in image space
+is exactly a 3x3 conv in group space over (gC -> gO) channels whose gxg
+sub-blocks are the original taps (most structurally zero). The kernel
+processes row-tiles: one DMA per tile (double-buffered), a flat (TH*Wq, gC)
+view, and per row-tap one MXU matmul against the expanded weights
+(gC, 3*gO) with the three column group-taps folded into the N dimension;
+outputs realign with shifted adds on the flat M axis. Measured at the MXU
+ceiling of this formulation (~61 TF/s executed) — 1.6x XLA at C=64/O=64 and
+more at O=32.
+
+The public op `conv3x3_replicate` is a drop-in for
+pad(edge)+conv_general_dilated(VALID) with fp32 accumulation, carries a
+custom VJP (backward runs the XLA reference formulation), and falls back to
+XLA off-TPU, for fp32 inputs, or for unsupported geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3_replicate", "conv3x3_xla", "use_pallas_conv"]
+
+_SUBLANE = 16  # bf16 packed sublane tile
+_VMEM_BUDGET = 9 * 2 ** 20
+_INTERPRET = False  # tests flip this to run the kernel in interpret mode on CPU
+
+
+def use_pallas_conv() -> bool:
+    """Pallas path enabled? MOGE_PALLAS_CONV=0/1 overrides; default: on TPU."""
+    env = os.environ.get("MOGE_PALLAS_CONV")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def conv3x3_xla(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
+    """Reference formulation: replicate pad + VALID conv, fp32 accumulate."""
+    xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xpad, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+def _build_group_weights(kernel: jax.Array, g: int) -> jax.Array:
+    """(3,3,C,O) -> (3, gC, 3gO): per row-tap di, expand to the column-GROUP
+    domain where ``g`` adjacent image columns form one lane-dim group (gC=128).
+
+    Output sub-col j of group p reads input cols gp+j-1..gp+j+1, which live in
+    groups p-1 (du block 0), p (block 1), p+1 (block 2). Entry (i -> j) of
+    block du is the original column tap at offset ``g*(du-1)+i-j`` when that
+    offset is in {-1,0,1}, else structurally zero.
+    """
+    w = kernel
+    C, O = w.shape[2], w.shape[3]
+    z = jnp.zeros((3, C, O), w.dtype)
+    blocks = []
+    for du in range(3):
+        cols = []
+        for j in range(g):
+            rows = []
+            for i in range(g):
+                delta = g * (du - 1) + i - j
+                rows.append(w[:, delta + 1] if -1 <= delta <= 1 else z)
+            cols.append(jnp.concatenate(rows, axis=1))  # (3, gC, O)
+        blocks.append(jnp.concatenate(cols, axis=-1))  # (3, gC, gO)
+    return jnp.concatenate(blocks, axis=-1)  # (3, gC, 3gO)
+
+
+def _kernel(xq_ref, w_ref, b_ref, y_ref, xt, sem, *, TH, Wout, Wq, Cq, Oq, NT):
+    bidx = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def get_dma(slot, tile):
+        return pltpu.make_async_copy(
+            xq_ref.at[bidx, pl.ds(tile * TH, TH + 3)], xt.at[slot], sem.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t + 1 < NT)
+    def _():
+        get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+    get_dma(slot, t).wait()
+    M = TH * Wq
+    a = xt[slot].reshape((TH + 3) * Wq, Cq)
+    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (M, Oq))
+    for di in range(3):
+        p = jax.lax.dot_general(
+            a[di * Wq:di * Wq + M + 2], w_ref[di],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc = acc + p[0:M, 0:Oq] + p[1:M + 1, Oq:2 * Oq] + p[2:M + 2, 2 * Oq:3 * Oq]
+    y_ref[0] = acc.reshape(TH, Wq, Oq)[:, :Wout].astype(y_ref.dtype)
+
+
+def _pick_tile(H: int, Wq: int, Cq: int, Oq: int) -> Optional[int]:
+    """Largest divisor of H whose working set fits the VMEM budget."""
+    best = None
+    for TH in range(1, H + 1):
+        if H % TH:
+            continue
+        M = TH * Wq
+        need = (
+            2 * (TH + 3) * Wq * Cq * 2          # double-buffered input tiles
+            + (M + 2) * max(3 * Oq, 128) * 4    # p (per-di matmul result, f32)
+            + M * max(Oq, 128) * 4              # acc
+            + 2 * TH * Wq * max(Oq, 128) * 2    # out block (pipelined x2)
+        )
+        if need <= _VMEM_BUDGET and (best is None or TH > best):
+            best = TH
+    return best
+
+
+def _group_size(C: int) -> Optional[int]:
+    """Columns per lane group: smallest g with g*C a multiple of 128."""
+    if C >= 128 or 128 % C != 0:  # group path only; XLA is fine at C>=128
+        return None
+    return 128 // C
+
+
+def _supported(x: jax.Array, kernel: jax.Array) -> bool:
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    if x.dtype != jnp.bfloat16:
+        return False
+    g = _group_size(C)
+    if g is None:
+        return False
+    if W % g != 0 or H < 2 or W < 2 * g:
+        return False
+    Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
+    return _pick_tile(H, Wq, g * C, g * O) is not None
+
+
+def _conv3x3_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    g = _group_size(C)
+    Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
+    Cq, Oq = g * C, g * O
+    TH = _pick_tile(H, Wq, Cq, Oq)
+    # rows: +1 edge top, +1 edge bottom, +1 overhang row (du=2 of last tile);
+    # cols: 1 group left edge (g cols), right pad to g*Wq.
+    xq = jnp.pad(x, [(0, 0), (1, 2), (g, g * Wq - W - g), (0, 0)], mode="edge")
+    xq = xq.reshape(B, H + 3, Wq, Cq)
+    wq = _build_group_weights(kernel.astype(x.dtype), g)
+    bq = jnp.tile(bias, g).astype(jnp.float32)
+    NT = H // TH
+    y = pl.pallas_call(
+        functools.partial(_kernel, TH=TH, Wout=W // g, Wq=Wq, Cq=Cq, Oq=Oq, NT=NT),
+        out_shape=jax.ShapeDtypeStruct((B, H, W // g, Oq), x.dtype),
+        grid=(B, NT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, TH, W // g, Oq), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, TH + 3, Wq, Cq), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=_INTERPRET,
+    )(xq, wq, bq.reshape(1, Oq))
+    return y.reshape(B, H, W, O)
+
+
+@jax.custom_vjp
+def conv3x3_replicate(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    """3x3 stride-1 NHWC conv with replicate padding and fp32 accumulation.
+
+    ``kernel``: (3, 3, C, O); ``bias``: (O,). Uses the pair-domain pallas
+    kernel for thin channels on TPU, XLA otherwise. Matches `conv3x3_xla`
+    within bf16 accumulation-order tolerance.
+    """
+    if use_pallas_conv() and _supported(x, kernel):
+        return _conv3x3_pallas(x, kernel.astype(x.dtype), bias)
+    return conv3x3_xla(x, kernel.astype(x.dtype), bias)
+
+
+def _fwd(x, kernel, bias):
+    return conv3x3_replicate(x, kernel, bias), (x, kernel, bias)
+
+
+def _bwd(res, g):
+    x, kernel, bias = res
+    # Backward of the XLA reference formulation (numerically equivalent).
+    _, vjp = jax.vjp(conv3x3_xla, x, kernel, bias)
+    return vjp(g)
+
+
+conv3x3_replicate.defvjp(_fwd, _bwd)

@@ -112,10 +112,13 @@ def main(input_path, fov_x_, output_path, pretrained_model_name_or_path, model_v
             if vertex_normals is not None:
                 vertex_normals = vertex_normals * [1, -1, -1]
 
-            if save_glb_:
-                save_glb(save_path / "mesh.glb", vertices, faces, vertex_uvs, image, vertex_normals)
-            if save_ply_:
-                save_ply(save_path / "pointcloud.ply", vertices, np.zeros((0, 3), np.uint32), vertex_colors, vertex_normals)
+            if len(vertices) == 0:
+                warnings.warn(f"No valid surface in {image_path} (empty mask); skipping mesh export.")
+            else:
+                if save_glb_:
+                    save_glb(save_path / "mesh.glb", vertices, faces, vertex_uvs, image, vertex_normals)
+                if save_ply_:
+                    save_ply(save_path / "pointcloud.ply", vertices, np.zeros((0, 3), np.uint32), vertex_colors, vertex_normals)
 
         if show:
             warnings.warn("--show is not supported in the TPU headless environment.")

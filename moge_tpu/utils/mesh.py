@@ -130,10 +130,12 @@ def save_glb(
         views.append(view)
         return len(views) - 1
 
+    if len(vertices) == 0:
+        raise ValueError("save_glb requires at least one vertex")
     idx_view = add_view(faces.reshape(-1).astype("<u4").tobytes(), target=34963)
     accessors.append({
         "bufferView": idx_view, "componentType": 5125, "count": int(faces.size),
-        "type": "SCALAR", "max": [int(faces.max())], "min": [0],
+        "type": "SCALAR", "max": [int(faces.max()) if faces.size else 0], "min": [0],
     })
     pos_view = add_view(vertices.astype("<f4").tobytes(), target=34962)
     accessors.append({

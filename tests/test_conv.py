@@ -1,0 +1,94 @@
+"""Tests for the pallas pair-domain 3x3 conv (moge_tpu/ops/conv.py).
+
+The decoder's thin-channel 3x3 convs route through ``conv3x3_replicate``
+(reference semantics: moge/model/modules.py:18-68 replicate-pad convs). On
+CPU the public op falls back to the XLA formulation; the pallas kernel
+itself is exercised here in interpret mode so its index algebra (pair-domain
+weight expansion, row-tap shifted adds, edge padding) is covered without TPU
+hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import moge_tpu.ops.conv as conv_mod
+from moge_tpu.ops.conv import conv3x3_replicate, conv3x3_xla, _supported
+
+
+def _ref_conv(x, kernel, bias):
+    """Replicate-pad 3x3 conv in numpy fp32 (independent oracle)."""
+    x = np.asarray(x, np.float32)
+    k = np.asarray(kernel, np.float32)
+    b = np.asarray(bias, np.float32)
+    B, H, W, C = x.shape
+    O = k.shape[-1]
+    xp = np.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    y = np.zeros((B, H, W, O), np.float32)
+    for di in range(3):
+        for dj in range(3):
+            y += np.einsum("bhwc,co->bhwo", xp[:, di:di + H, dj:dj + W], k[di, dj])
+    return y + b
+
+
+def test_xla_path_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 7, 6, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 5, 4) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(4), jnp.float32)
+    got = np.asarray(conv3x3_replicate(x, k, b))
+    want = _ref_conv(x, k, b)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 8, 8, 64, 64), (1, 12, 10, 64, 32), (2, 6, 4, 64, 64),
+     (1, 8, 8, 32, 32), (1, 10, 12, 32, 64), (2, 6, 8, 32, 32)],
+)
+def test_pallas_kernel_interpret_matches_oracle(shape):
+    B, H, W, C, O = shape
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, C, O) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(O), jnp.float32)
+    assert _supported(x, k)
+    old = conv_mod._INTERPRET
+    conv_mod._INTERPRET = True
+    try:
+        got = np.asarray(conv_mod._conv3x3_pallas(x, k.astype(x.dtype), b), np.float32)
+    finally:
+        conv_mod._INTERPRET = old
+    want = _ref_conv(np.asarray(x, np.float32), k, b)
+    # bf16 inputs: tolerance scaled to input rounding.
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * np.abs(want).max())
+
+
+def test_unsupported_geometry_falls_back():
+    rng = np.random.RandomState(2)
+    # C=48: 128 % 48 != 0 -> group path must decline, XLA fallback is exact.
+    x = jnp.asarray(rng.randn(1, 6, 6, 48), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 48, 16) * 0.2, jnp.float32)
+    b = jnp.zeros((16,), jnp.float32)
+    got = np.asarray(conv3x3_replicate(x, k, b), np.float32)
+    want = np.asarray(conv3x3_xla(x, k.astype(x.dtype), b), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_custom_vjp_matches_xla_grads():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 5, 6, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 4) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(4), jnp.float32)
+
+    def loss_custom(x, k, b):
+        return jnp.sum(conv3x3_replicate(x, k, b) ** 2)
+
+    def loss_ref(x, k, b):
+        return jnp.sum(conv3x3_xla(x, k, b) ** 2)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(x, k, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+    for a, bgrad in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad), rtol=1e-4, atol=1e-4)
