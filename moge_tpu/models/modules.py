@@ -90,13 +90,13 @@ class _Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None, input_relu=False):
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return conv3x3_replicate(x.astype(self.dtype), kernel, bias)
+        return conv3x3_replicate(x.astype(self.dtype), kernel, bias, residual, input_relu)
 
 
 class Conv2d(nn.Module):
@@ -113,17 +113,20 @@ class Conv2d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None, input_relu=False):
         k = self.kernel_size
         if k == 3:
-            return _Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
+            return _Conv3x3(self.features, dtype=self.dtype, name="conv")(x, residual, input_relu)
+        if input_relu:
+            x = jnp.maximum(x, 0)
         if k > 1:
             pad = k // 2
             x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="edge")
-        return nn.Conv(
+        y = nn.Conv(
             self.features, (k, k), padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
             name="conv",
         )(x)
+        return y if residual is None else y + residual
 
 
 class ResidualConvBlock(nn.Module):
@@ -148,13 +151,18 @@ class ResidualConvBlock(nn.Module):
         if self.in_channels != out_ch:
             skip = nn.Dense(out_ch, dtype=self.dtype, param_dtype=jnp.float32, name="skip")(x)
 
+        # relu folds into the conv kernel (exact; see ops/conv.py), removing
+        # two elementwise HBM round-trips per block on TPU.
+        fuse_relu = self.activation == "relu"
         h = Norm2d(self.in_norm, self.in_channels, name="norm1")(x)
-        h = act(h)
-        h = Conv2d(hid_ch, self.kernel_size, dtype=self.dtype, name="conv1")(h)
+        if not fuse_relu:
+            h = act(h)
+        h = Conv2d(hid_ch, self.kernel_size, dtype=self.dtype, name="conv1")(h, input_relu=fuse_relu)
         h = Norm2d(self.hidden_norm, hid_ch, name="norm2")(h)
-        h = act(h)
-        h = Conv2d(out_ch, self.kernel_size, dtype=self.dtype, name="conv2")(h)
-        return h + skip
+        if not fuse_relu:
+            h = act(h)
+        return Conv2d(out_ch, self.kernel_size, dtype=self.dtype, name="conv2")(
+            h, residual=skip, input_relu=fuse_relu)
 
 
 class ConvTranspose2x(nn.Module):

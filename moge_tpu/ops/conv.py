@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["conv3x3_replicate", "conv3x3_xla", "use_pallas_conv"]
 
 _SUBLANE = 16  # bf16 packed sublane tile
-_VMEM_BUDGET = 9 * 2 ** 20
+_VMEM_BUDGET = 72 * 2 ** 20   # tile-picker working-set bound (see _pick_tile)
+_VMEM_LIMIT = 100 * 2 ** 20   # Mosaic scoped-vmem ceiling for the kernel
 _INTERPRET = False  # tests flip this to run the kernel in interpret mode on CPU
 
 
@@ -57,14 +58,25 @@ def use_pallas_conv() -> bool:
         return False
 
 
-def conv3x3_xla(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array]) -> jax.Array:
-    """Reference formulation: replicate pad + VALID conv, fp32 accumulate."""
+def conv3x3_xla(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    residual: Optional[jax.Array] = None,
+    input_relu: bool = False,
+) -> jax.Array:
+    """Reference formulation: [relu +] replicate pad + VALID conv [+ residual],
+    fp32 accumulate."""
+    if input_relu:
+        x = jnp.maximum(x, 0)
     xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
     y = jax.lax.conv_general_dilated(
         xpad, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -93,7 +105,12 @@ def _build_group_weights(kernel: jax.Array, g: int) -> jax.Array:
     return jnp.concatenate(blocks, axis=-1)  # (3, gC, 3gO)
 
 
-def _kernel(xq_ref, w_ref, b_ref, y_ref, xt, sem, *, TH, Wout, Wq, Cq, Oq, NT):
+def _kernel(*refs, TH, Wout, Wq, Cq, Oq, NT, input_relu, has_residual):
+    if has_residual:
+        xq_ref, w_ref, b_ref, r_ref, y_ref, xt, sem = refs
+    else:
+        xq_ref, w_ref, b_ref, y_ref, xt, sem = refs
+        r_ref = None
     bidx = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -114,17 +131,28 @@ def _kernel(xq_ref, w_ref, b_ref, y_ref, xt, sem, *, TH, Wout, Wq, Cq, Oq, NT):
     get_dma(slot, t).wait()
     M = TH * Wq
     a = xt[slot].reshape((TH + 3) * Wq, Cq)
+    if input_relu:
+        a = jnp.maximum(a, 0)
     acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (M, Oq))
     for di in range(3):
         p = jax.lax.dot_general(
             a[di * Wq:di * Wq + M + 2], w_ref[di],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         acc = acc + p[0:M, 0:Oq] + p[1:M + 1, Oq:2 * Oq] + p[2:M + 2, 2 * Oq:3 * Oq]
-    y_ref[0] = acc.reshape(TH, Wq, Oq)[:, :Wout].astype(y_ref.dtype)
+    out = acc.reshape(TH, Wq, Oq)[:, :Wout]
+    if r_ref is not None:
+        out = out + r_ref[0].astype(jnp.float32)
+    y_ref[0] = out.astype(y_ref.dtype)
 
 
 def _pick_tile(H: int, Wq: int, Cq: int, Oq: int) -> Optional[int]:
-    """Largest divisor of H whose working set fits the VMEM budget."""
+    """Largest divisor of H whose working set fits the VMEM budget.
+
+    The budget/limit pair is empirically calibrated on v5e: bigger tiles
+    amortize per-grid-step overheads (296x296 C64: TH=8 -> 57 TF/s executed,
+    TH=74 -> 80 TF/s), but Mosaic stack-allocates the per-di matmul result
+    so the working set must stay under the scoped-vmem ceiling.
+    """
     best = None
     for TH in range(1, H + 1):
         if H % TH:
@@ -142,10 +170,16 @@ def _pick_tile(H: int, Wq: int, Cq: int, Oq: int) -> Optional[int]:
 
 
 def _group_size(C: int) -> Optional[int]:
-    """Columns per lane group: smallest g with g*C a multiple of 128."""
-    if C >= 128 or 128 % C != 0:  # group path only; XLA is fine at C>=128
-        return None
-    return 128 // C
+    """Columns per lane group: smallest g with g*C a multiple of 128.
+
+    g=1 (C a lane multiple) runs the same kernel with one pixel per flat row
+    and no FLOP expansion; thin channels pay an executed-FLOP factor of g.
+    """
+    if C % 128 == 0:
+        return 1
+    if C < 128 and 128 % C == 0:
+        return 128 // C
+    return None
 
 
 def _supported(x: jax.Array, kernel: jax.Array) -> bool:
@@ -162,13 +196,20 @@ def _supported(x: jax.Array, kernel: jax.Array) -> bool:
     return _pick_tile(H, Wq, g * C, g * O) is not None
 
 
-def _conv3x3_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+def _conv3x3_pallas(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    residual: Optional[jax.Array] = None,
+    input_relu: bool = False,
+) -> jax.Array:
     B, H, W, C = x.shape
     O = kernel.shape[-1]
     g = _group_size(C)
     Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
     Cq, Oq = g * C, g * O
     TH = _pick_tile(H, Wq, Cq, Oq)
+    Wout = W // g
     # rows: +1 edge top, +1 edge bottom, +1 overhang row (du=2 of last tile);
     # cols: 1 group left edge (g cols), right pad to g*Wq.
     xq = jnp.pad(x, [(0, 0), (1, 2), (g, g * Wq - W - g), (0, 0)], mode="edge")
@@ -176,44 +217,66 @@ def _conv3x3_pallas(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Arr
     wq = _build_group_weights(kernel.astype(x.dtype), g)
     bq = jnp.tile(bias, g).astype(jnp.float32)
     NT = H // TH
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    args = [xq, wq, bq.reshape(1, Oq)]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, TH, Wout, Oq), lambda bi, ti: (bi, ti, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual.reshape(B, H, Wout, Oq))
     y = pl.pallas_call(
-        functools.partial(_kernel, TH=TH, Wout=W // g, Wq=Wq, Cq=Cq, Oq=Oq, NT=NT),
-        out_shape=jax.ShapeDtypeStruct((B, H, W // g, Oq), x.dtype),
+        functools.partial(_kernel, TH=TH, Wout=Wout, Wq=Wq, Cq=Cq, Oq=Oq, NT=NT,
+                          input_relu=input_relu, has_residual=residual is not None),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wout, Oq), x.dtype),
         grid=(B, NT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, TH, W // g, Oq), lambda bi, ti: (bi, ti, 0, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TH, Wout, Oq), lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, TH + 3, Wq, Cq), x.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
-    )(xq, wq, bq.reshape(1, Oq))
+    )(*args)
     return y.reshape(B, H, W, O)
 
 
-@jax.custom_vjp
-def conv3x3_replicate(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
-    """3x3 stride-1 NHWC conv with replicate padding and fp32 accumulation.
-
-    ``kernel``: (3, 3, C, O); ``bias``: (O,). Uses the pair-domain pallas
-    kernel for thin channels on TPU, XLA otherwise. Matches `conv3x3_xla`
-    within bf16 accumulation-order tolerance.
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _conv3x3_core(x, kernel, bias, residual, input_relu):
     if use_pallas_conv() and _supported(x, kernel):
-        return _conv3x3_pallas(x, kernel.astype(x.dtype), bias)
-    return conv3x3_xla(x, kernel.astype(x.dtype), bias)
+        return _conv3x3_pallas(x, kernel.astype(x.dtype), bias, residual, input_relu)
+    return conv3x3_xla(x, kernel.astype(x.dtype), bias, residual, input_relu)
 
 
-def _fwd(x, kernel, bias):
-    return conv3x3_replicate(x, kernel, bias), (x, kernel, bias)
+def _fwd(x, kernel, bias, residual, input_relu):
+    return _conv3x3_core(x, kernel, bias, residual, input_relu), (x, kernel, bias, residual)
 
 
-def _bwd(res, g):
-    x, kernel, bias = res
+def _bwd(input_relu, res, g):
+    x, kernel, bias, residual = res
     # Backward of the XLA reference formulation (numerically equivalent).
-    _, vjp = jax.vjp(conv3x3_xla, x, kernel, bias)
+    _, vjp = jax.vjp(
+        lambda xx, kk, bb, rr: conv3x3_xla(xx, kk, bb, rr, input_relu), x, kernel, bias, residual)
     return vjp(g)
 
 
-conv3x3_replicate.defvjp(_fwd, _bwd)
+_conv3x3_core.defvjp(_fwd, _bwd)
+
+
+def conv3x3_replicate(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    residual: Optional[jax.Array] = None,
+    input_relu: bool = False,
+) -> jax.Array:
+    """3x3 stride-1 NHWC conv with replicate padding and fp32 accumulation.
+
+    ``kernel``: (3, 3, C, O); ``bias``: (O,). Optionally fuses a pre-conv
+    relu on the input (exact: relu commutes with replicate pad) and a
+    post-conv residual add — the elementwise passes XLA would otherwise run
+    as separate HBM round-trips between decoder convs. Uses the group-domain
+    pallas kernel on TPU when supported, XLA otherwise. Matches
+    `conv3x3_xla` within bf16 accumulation-order tolerance.
+    """
+    return _conv3x3_core(x, kernel, bias, residual, input_relu)

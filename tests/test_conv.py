@@ -45,7 +45,8 @@ def test_xla_path_matches_numpy_oracle():
 @pytest.mark.parametrize(
     "shape",
     [(1, 8, 8, 64, 64), (1, 12, 10, 64, 32), (2, 6, 4, 64, 64),
-     (1, 8, 8, 32, 32), (1, 10, 12, 32, 64), (2, 6, 8, 32, 32)],
+     (1, 8, 8, 32, 32), (1, 10, 12, 32, 64), (2, 6, 8, 32, 32),
+     (1, 8, 8, 128, 64), (1, 6, 10, 128, 128), (1, 4, 6, 256, 128)],
 )
 def test_pallas_kernel_interpret_matches_oracle(shape):
     B, H, W, C, O = shape
@@ -74,6 +75,45 @@ def test_unsupported_geometry_falls_back():
     got = np.asarray(conv3x3_replicate(x, k, b), np.float32)
     want = np.asarray(conv3x3_xla(x, k.astype(x.dtype), b), np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("C,O", [(64, 64), (32, 32), (128, 128)])
+def test_pallas_fused_relu_and_residual_interpret(C, O):
+    rng = np.random.RandomState(7)
+    B, H, W = 1, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, C, O) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(O), jnp.float32)
+    r = jnp.asarray(rng.randn(B, H, W, O), jnp.bfloat16)
+    want = _ref_conv(np.maximum(np.asarray(x, np.float32), 0), k, b) + np.asarray(r, np.float32)
+    old = conv_mod._INTERPRET
+    conv_mod._INTERPRET = True
+    try:
+        got = np.asarray(
+            conv_mod._conv3x3_pallas(x, k.astype(x.dtype), b, residual=r, input_relu=True),
+            np.float32)
+    finally:
+        conv_mod._INTERPRET = old
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * np.abs(want).max())
+
+
+def test_fused_relu_residual_grads_flow():
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 5, 6, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 4) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(4), jnp.float32)
+    r = jnp.asarray(rng.randn(1, 5, 6, 4), jnp.float32)
+
+    def loss_custom(x, k, b, r):
+        return jnp.sum(conv3x3_replicate(x, k, b, residual=r, input_relu=True) ** 2)
+
+    def loss_ref(x, k, b, r):
+        return jnp.sum((conv3x3_xla(jnp.maximum(x, 0), k, b) + r) ** 2)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(x, k, b, r)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, k, b, r)
+    for a, bgrad in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad), rtol=1e-4, atol=1e-4)
 
 
 def test_custom_vjp_matches_xla_grads():
