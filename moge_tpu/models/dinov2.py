@@ -30,6 +30,7 @@ import flax.linen as nn
 import numpy as np
 
 from ..ops.attention import scaled_dot_product_attention
+from ..ops.norm import layer_norm_fp32  # pallas single-pass kernel on TPU
 from ..ops.resize import resize_2d
 
 
@@ -58,15 +59,6 @@ VIT_ARCHS = {
 }
 
 
-def layer_norm_fp32(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """LayerNorm with fp32 statistics, output cast back to input dtype."""
-    dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(dtype)
 
 
 class LayerNorm(nn.Module):

@@ -90,12 +90,19 @@ class _Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None, input_relu=False):
+    def __call__(self, x, residual=None, input_relu=False, fold_w=None, fold_b=None, up2=False):
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if fold_w is not None:
+            # Fold a following linear projection into the conv (exact in fp32).
+            kernel = jnp.einsum("hwco,op->hwcp", kernel, fold_w)
+            bias = bias @ fold_w + (0.0 if fold_b is None else fold_b)
+        if up2:
+            assert residual is None and not input_relu
+            return conv3x3_up2_bilinear(x.astype(self.dtype), kernel, bias)
         return conv3x3_replicate(x.astype(self.dtype), kernel, bias, residual, input_relu)
 
 
@@ -113,10 +120,12 @@ class Conv2d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None, input_relu=False):
+    def __call__(self, x, residual=None, input_relu=False, fold_w=None, fold_b=None, up2=False):
         k = self.kernel_size
         if k == 3:
-            return _Conv3x3(self.features, dtype=self.dtype, name="conv")(x, residual, input_relu)
+            return _Conv3x3(self.features, dtype=self.dtype, name="conv")(
+                x, residual, input_relu, fold_w, fold_b, up2)
+        assert not up2, "fused upsample requires kernel_size == 3"
         if input_relu:
             x = jnp.maximum(x, 0)
         if k > 1:
@@ -126,6 +135,8 @@ class Conv2d(nn.Module):
             self.features, (k, k), padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
             name="conv",
         )(x)
+        if fold_w is not None:
+            y = y @ fold_w.astype(y.dtype) + (0.0 if fold_b is None else fold_b.astype(y.dtype))
         return y if residual is None else y + residual
 
 
@@ -213,26 +224,33 @@ class Resampler(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_w=None, fold_b=None):
         t, s = self.type_, self.scale_factor
+        fold = dict(fold_w=fold_w, fold_b=fold_b)
         if t == "pixel_shuffle":
             x = Conv2d(self.out_channels * s * s, 3, dtype=self.dtype, name="conv_pre")(x)
             x = pixel_shuffle(x, s)
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
+        elif t == "bilinear" and s == 2:
+            # Fused upsample+conv (exact; see ops/conv.py:up2_conv3_weights).
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, up2=True, **fold)
         elif t in ("nearest", "bilinear"):
             b, h, w, _ = x.shape
             x = resize_2d(x, (h * s, w * s), mode=t, channel_last=True)
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
         elif t == "conv_transpose":
             x = ConvTranspose2x(self.out_channels, s, dtype=self.dtype, name="deconv")(x)
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
         elif t == "pixel_unshuffle":
             x = pixel_unshuffle(x, s)
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
         elif t == "avg_pool":
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_pre")(x)
+            # avg_pool is linear, so a fold into conv_pre commutes with it.
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_pre")(x, **fold)
             x = nn.avg_pool(x, (s, s), strides=(s, s))
         elif t == "max_pool":
+            if fold_w is not None:
+                raise ValueError("cannot fold a projection through max_pool")
             x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_pre")(x)
             x = nn.max_pool(x, (s, s), strides=(s, s))
         else:
@@ -254,11 +272,35 @@ class MLP(nn.Module):
         return nn.Dense(self.dims[-1], dtype=self.dtype, param_dtype=jnp.float32, name=f"fc{len(self.dims) - 2}")(x)
 
 
+class _Proj(nn.Module):
+    """Linear projection with nn.Dense's parameter tree ({kernel, bias}),
+    exposing the weights so ConvStack can fold them into adjacent convs."""
+
+    in_features: int
+    features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        y = x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+        return y + self.bias.astype(y.dtype)
+
+
 class ConvStack(nn.Module):
     """Multi-scale residual conv pyramid (reference modules.py:195-254).
 
     ``__call__`` takes a list of per-level input features (or None) and returns
     per-level outputs; level i runs at 2^i x the base resolution.
+
+    When the finest level is purely linear (no res blocks: resample -> +input
+    projection -> output projection, the MoGe-2 head epilogue), the two
+    projections are folded into the resampler's final 3x3 conv — exact linear
+    algebra that removes the separate projection passes and the TPU layout
+    copies XLA inserts around them at the largest spatial size.
     """
 
     dim_in: Union[Optional[int], Sequence[Optional[int]]]
@@ -288,12 +330,38 @@ class ConvStack(nn.Module):
         res_block_cls = nn.remat(ResidualConvBlock) if self.remat else ResidualConvBlock
         resampler_cls = nn.remat(Resampler) if self.remat else Resampler
 
+        # Finest-level linear epilogue -> fold projections into the resampler
+        # conv (TPU path; exact). Padded to >=32 output lanes for the kernel.
+        fuse_last = (
+            n >= 2
+            and res_counts[n - 1] == 0
+            and dims_out[n - 1] is not None
+            and resampler_types[n - 2] != "max_pool"
+        )
+
         out_features: List[Optional[jax.Array]] = []
         x = None
+        wo = bo = None  # padded fold weights, set at i == n-2 when fusing
         for i, dim in enumerate(self.dim_res_blocks):
             feat = in_features[i] if i < len(in_features) else None
+            in_proj = None
             if dims_in[i] is not None and feat is not None:
-                feat = nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32, name=f"input_{i}")(feat)
+                in_proj = _Proj(dims_in[i], dim, dtype=self.dtype, name=f"input_{i}")
+            if fuse_last and i == n - 1:
+                p_out = dims_out[i]
+                # x arrived from resampler_{n-2} with wo/bo already folded in.
+                out = x
+                if in_proj is not None:
+                    wi = in_proj.kernel @ wo  # (dims_in, p_pad); out-bias only once
+                    bi = in_proj.bias @ wo
+                    out = out + (feat.astype(self.dtype) @ wi.astype(self.dtype)
+                                 + bi.astype(self.dtype))
+                elif feat is not None:
+                    out = out + feat.astype(self.dtype) @ wo.astype(self.dtype)
+                out_features.append(out[..., :p_out])
+                break
+            if in_proj is not None:
+                feat = in_proj(feat)
             if i == 0:
                 x = feat
             elif feat is not None:
@@ -310,18 +378,27 @@ class ConvStack(nn.Module):
                 )(x)
             if dims_out[i] is not None:
                 out_features.append(
-                    nn.Dense(dims_out[i], dtype=self.dtype, param_dtype=jnp.float32, name=f"output_{i}")(x)
-                )
+                    _Proj(dim, dims_out[i], dtype=self.dtype, name=f"output_{i}")(x))
             else:
                 out_features.append(x)
             if i < n - 1:
-                x = resampler_cls(
+                resampler = resampler_cls(
                     in_channels=dim,
                     out_channels=self.dim_res_blocks[i + 1],
                     type_=resampler_types[i],
                     dtype=self.dtype,
                     name=f"resampler_{i}",
-                )(x)
+                )
+                if fuse_last and i == n - 2:
+                    nxt = self.dim_res_blocks[n - 1]
+                    p_out = dims_out[n - 1]
+                    p_pad = max(p_out, 32)
+                    out_proj = _Proj(nxt, p_out, dtype=self.dtype, name=f"output_{n - 1}")
+                    wo = jnp.zeros((nxt, p_pad), jnp.float32).at[:, :p_out].set(out_proj.kernel)
+                    bo = jnp.zeros((p_pad,), jnp.float32).at[:p_out].set(out_proj.bias)
+                    x = resampler(x, fold_w=wo, fold_b=bo)
+                else:
+                    x = resampler(x)
         return out_features
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -29,8 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_Q_BLOCK = 256
-DEFAULT_K_BLOCK = 512
+# Defaults from an in-encoder sweep on v5e at N=1370 (ViT-L): q=512 with the
+# whole padded sequence per K step (k_block=0 sentinel -> single-pass softmax,
+# no online rescale) ran 13.4 -> 11.5 ms vs the 256/512 streaming config.
+# K/V for one head at N<=3601 is <1 MB, so whole-sequence K blocks fit VMEM.
+DEFAULT_Q_BLOCK = 512
+DEFAULT_K_BLOCK = 0  # 0 -> whole padded sequence
 
 
 def _round_up(x: int, m: int) -> int:
@@ -212,15 +217,28 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 @functools.partial(jax.jit, static_argnames=("q_block", "k_block"))
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
-    q_block: int = DEFAULT_Q_BLOCK, k_block: int = DEFAULT_K_BLOCK,
+    q_block: Optional[int] = None, k_block: Optional[int] = None,
 ) -> jax.Array:
     """Multi-head attention, (B, N, H, D) layout, scale = D**-0.5.
 
     Pallas TPU flash kernel with a flash backward (custom VJP): neither pass
     materializes the (N, N) probability matrix in HBM. Numerics match SDPA
     (fp32 softmax) to bf16 precision. N is padded internally.
+
+    Block sizes default from MOGE_FLASH_BLOCKS="q,k" (k=0 -> whole padded
+    sequence per step, i.e. single-pass softmax with no online rescale).
     """
+    if q_block is None or k_block is None:
+        env = os.environ.get("MOGE_FLASH_BLOCKS")
+        if env:
+            eq, ek = (int(s) for s in env.split(","))
+        else:
+            eq, ek = DEFAULT_Q_BLOCK, DEFAULT_K_BLOCK
+        q_block = q_block or eq
+        k_block = k_block or ek
     b, n, h, d = q.shape
+    if k_block <= 0:
+        k_block = _round_up(n, max(q_block, 128))
     n_pad = _round_up(n, max(q_block, k_block))
 
     def pad(x):

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_replicate", "conv3x3_xla", "use_pallas_conv"]
+__all__ = ["conv3x3_replicate", "conv3x3_up2_bilinear", "conv3x3_xla", "use_pallas_conv"]
 
 _SUBLANE = 16  # bf16 packed sublane tile
 _VMEM_BUDGET = 72 * 2 ** 20   # tile-picker working-set bound (see _pick_tile)
@@ -261,6 +261,60 @@ def _bwd(input_relu, res, g):
 
 
 _conv3x3_core.defvjp(_fwd, _bwd)
+
+
+# bilinear 2x (half-pixel, edge-clamped) row coefficients per (out parity a,
+# conv row tap du): list of (input offset di, weight). Same table for columns.
+_UP2_TAPS = {
+    (0, 0): [(-1, 0.75), (0, 0.25)],
+    (0, 1): [(-1, 0.25), (0, 0.75)],
+    (0, 2): [(0, 0.75), (1, 0.25)],
+    (1, 0): [(-1, 0.25), (0, 0.75)],
+    (1, 1): [(0, 0.75), (1, 0.25)],
+    (1, 2): [(0, 0.25), (1, 0.75)],
+}
+
+
+def up2_conv3_weights(kernel: jax.Array) -> jax.Array:
+    """Compose bilinear 2x upsample (align_corners=False) with a 3x3 conv.
+
+    Returns (3, 3, C, 2, 2, O): taps over the LOW-res input producing the 4
+    output parities. Exact, including edges: the upsample's edge clamp and
+    the conv's replicate pad both reduce to clamping low-res row/col indices,
+    which is precisely this kernel under replicate padding (see tests).
+    """
+    C, O = kernel.shape[2], kernel.shape[3]
+    w = jnp.zeros((3, 3, C, 2, 2, O), kernel.dtype)
+    for a in range(2):
+        for b in range(2):
+            for du in range(3):
+                for dv in range(3):
+                    for di, ar in _UP2_TAPS[(a, du)]:
+                        for dj, ac in _UP2_TAPS[(b, dv)]:
+                            w = w.at[di + 1, dj + 1, :, a, b, :].add(ar * ac * kernel[du, dv])
+    return w
+
+
+def conv3x3_up2_bilinear(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+) -> jax.Array:
+    """bilinear-2x upsample followed by a replicate-pad 3x3 conv, fused.
+
+    Replaces resize(2x) + pad + conv (three full-resolution HBM passes plus
+    the layout copies XLA inserts between them at the decoder's finest level)
+    with ONE pallas conv at the LOW resolution over parity-expanded weights
+    (3,3,C,4O) and a depth-to-space. Reference semantics:
+    moge/model/modules.py:139-182 Resampler('bilinear') + its conv.
+    """
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    wq = up2_conv3_weights(kernel).reshape(3, 3, C, 4 * O)
+    bq = jnp.tile(bias, 4)
+    y = conv3x3_replicate(x, wq, bq)                      # (B, H, W, 4O)
+    y = y.reshape(B, H, W, 2, 2, O).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * H, 2 * W, O)
 
 
 def conv3x3_replicate(
