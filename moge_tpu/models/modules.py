@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.conv import conv3x3_replicate
+from ..ops.conv import conv3x3_replicate, conv3x3_up2_bilinear
 from ..ops.resize import resize_2d
 from ..ops.geometry import normalized_view_plane_uv
 from .dinov2 import VIT_ARCHS, DinoViT

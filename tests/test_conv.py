@@ -116,6 +116,23 @@ def test_fused_relu_residual_grads_flow():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("C,O,H,W", [(8, 4, 5, 6), (64, 32, 6, 8)])
+def test_up2_weights_match_resize_then_conv(C, O, H, W):
+    """Fused bilinear2x+conv3x3 == resize_2d + replicate-pad conv, exactly
+    (fp32), including all edge rows/cols."""
+    from moge_tpu.ops.conv import conv3x3_up2_bilinear
+    from moge_tpu.ops.resize import resize_2d
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, H, W, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, C, O) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(O), jnp.float32)
+    up = resize_2d(x, (2 * H, 2 * W), mode="bilinear", channel_last=True)
+    want = np.asarray(conv3x3_xla(up, k, b))
+    got = np.asarray(conv3x3_up2_bilinear(x, k, b))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_custom_vjp_matches_xla_grads():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(1, 5, 6, 8), jnp.float32)
