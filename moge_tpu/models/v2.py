@@ -23,6 +23,7 @@ from ..ops.geometry import depth_map_to_point_map, intrinsics_from_focal_center
 from ..ops.resize import resize_2d
 from ..ops.solvers import recover_focal_shift
 from .modules import MLP, ConvStack, DINOv2Encoder, make_level_uv
+from .multihead import apply_heads_batched, heads_batchable
 
 
 def remap_points(points: jax.Array, remap_output: str) -> jax.Array:
@@ -109,11 +110,19 @@ class MoGeV2(nn.Module):
         neck_features = self.neck_module(in_features)
 
         out: Dict[str, jax.Array] = {}
-        for head_name in ("points_head", "normal_head", "mask_head"):
-            if getattr(self, head_name) is None:
-                continue
-            head = getattr(self, head_name + "_module")
-            out[head_name.replace("_head", "_raw")] = head(neck_features)[-1]
+        head_names = [h for h in ("points_head", "normal_head", "mask_head")
+                      if getattr(self, h) is not None]
+        head_cfgs = [getattr(self, h) for h in head_names]
+        if not self.is_initializing() and heads_batchable(head_cfgs, self.remat):
+            # One batched pass over all heads (stacked weights; see multihead.py).
+            plist = [getattr(self, h + "_module").variables["params"] for h in head_names]
+            outs = apply_heads_batched(head_cfgs, plist, neck_features, self.dtype)
+            for h, o in zip(head_names, outs):
+                out[h.replace("_head", "_raw")] = o
+        else:
+            for head_name in head_names:
+                head = getattr(self, head_name + "_module")
+                out[head_name.replace("_head", "_raw")] = head(neck_features)[-1]
         if self.scale_head is not None:
             scale = self.scale_head_module(cls_token)
             out["metric_scale"] = jnp.exp(scale[..., 0])

@@ -157,6 +157,7 @@ def _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block):
             jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(qp, kp, vp)
     return out, lse
 
@@ -186,6 +187,7 @@ def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
         ],
         out_specs=pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(qp, kp, vp, do, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -207,6 +209,7 @@ def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
             jax.ShapeDtypeStruct((bh, n_pad, d), kp.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), vp.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(qp, kp, vp, do, lse, delta)
     return dq, dk, dv
 

@@ -66,7 +66,20 @@ def conv3x3_xla(
     input_relu: bool = False,
 ) -> jax.Array:
     """Reference formulation: [relu +] replicate pad + VALID conv [+ residual],
-    fp32 accumulate."""
+    fp32 accumulate. A 5-dim kernel (G,3,3,C,O) applies weight group b // B0
+    to batch entry b (grouped form; see _conv3x3_pallas)."""
+    if kernel.ndim == 5:
+        G = kernel.shape[0]
+        B0 = x.shape[0] // G
+        xg = x.reshape(G, B0, *x.shape[1:])
+        if residual is None:
+            yg = jax.vmap(lambda xx, kk, bb: conv3x3_xla(xx, kk, bb, None, input_relu))(
+                xg, kernel, bias)
+        else:
+            rg = residual.reshape(G, B0, *residual.shape[1:])
+            yg = jax.vmap(lambda xx, kk, bb, rr: conv3x3_xla(xx, kk, bb, rr, input_relu))(
+                xg, kernel, bias, rg)
+        return yg.reshape(x.shape[0], *yg.shape[2:])
     if input_relu:
         x = jnp.maximum(x, 0)
     xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
@@ -133,10 +146,10 @@ def _kernel(*refs, TH, Wout, Wq, Cq, Oq, NT, input_relu, has_residual):
     a = xt[slot].reshape((TH + 3) * Wq, Cq)
     if input_relu:
         a = jnp.maximum(a, 0)
-    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (M, Oq))
+    acc = jnp.broadcast_to(b_ref[0, 0].astype(jnp.float32), (M, Oq))
     for di in range(3):
         p = jax.lax.dot_general(
-            a[di * Wq:di * Wq + M + 2], w_ref[di],
+            a[di * Wq:di * Wq + M + 2], w_ref[0, di],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         acc = acc + p[0:M, 0:Oq] + p[1:M + 1, Oq:2 * Oq] + p[2:M + 2, 2 * Oq:3 * Oq]
     out = acc.reshape(TH, Wq, Oq)[:, :Wout]
@@ -187,6 +200,8 @@ def _supported(x: jax.Array, kernel: jax.Array) -> bool:
     O = kernel.shape[-1]
     if x.dtype != jnp.bfloat16:
         return False
+    if kernel.ndim == 5 and (B % kernel.shape[0] != 0):
+        return False
     g = _group_size(C)
     if g is None:
         return False
@@ -203,8 +218,16 @@ def _conv3x3_pallas(
     residual: Optional[jax.Array] = None,
     input_relu: bool = False,
 ) -> jax.Array:
+    """``kernel``: (3,3,C,O) shared, or (G,3,3,C,O) with x batched as
+    (G*B0, H, W, C) — batch b uses weight group b // B0 (stacked decoder
+    heads run as one grid). ``bias`` matches: (O,) or (G, O)."""
     B, H, W, C = x.shape
     O = kernel.shape[-1]
+    if kernel.ndim == 4:
+        kernel = kernel[None]
+        bias = bias[None]
+    G = kernel.shape[0]
+    B0 = B // G
     g = _group_size(C)
     Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
     Cq, Oq = g * C, g * O
@@ -214,13 +237,15 @@ def _conv3x3_pallas(
     # cols: 1 group left edge (g cols), right pad to g*Wq.
     xq = jnp.pad(x, [(0, 0), (1, 2), (g, g * Wq - W - g), (0, 0)], mode="edge")
     xq = xq.reshape(B, H + 3, Wq, Cq)
-    wq = _build_group_weights(kernel.astype(x.dtype), g)
-    bq = jnp.tile(bias, g).astype(jnp.float32)
+    wq = jax.vmap(_build_group_weights, in_axes=(0, None))(kernel.astype(x.dtype), g)
+    bq = jnp.tile(bias, (1, g)).astype(jnp.float32)
     NT = H // TH
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM)]
-    args = [xq, wq, bq.reshape(1, Oq)]
+                pl.BlockSpec((1, 3, Cq, 3 * Oq), lambda bi, ti: (bi // B0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Oq), lambda bi, ti: (bi // B0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [xq, wq, bq.reshape(G, 1, Oq)]
     if residual is not None:
         in_specs.append(pl.BlockSpec((1, TH, Wout, Oq), lambda bi, ti: (bi, ti, 0, 0),
                                      memory_space=pltpu.VMEM))

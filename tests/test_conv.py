@@ -116,6 +116,28 @@ def test_fused_relu_residual_grads_flow():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad), rtol=1e-4, atol=1e-4)
 
 
+def test_grouped_kernel_interpret_matches_per_group():
+    """(G,3,3,C,O) weights: batch b uses weight group b // B0."""
+    rng = np.random.RandomState(12)
+    G, B0, H, W, C, O = 3, 2, 8, 8, 64, 64
+    x = jnp.asarray(rng.randn(G * B0, H, W, C), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(G, 3, 3, C, O) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(G, O), jnp.float32)
+    want = np.concatenate([
+        _ref_conv(np.asarray(x[g * B0:(g + 1) * B0], np.float32), k[g], b[g]) for g in range(G)
+    ])
+    old = conv_mod._INTERPRET
+    conv_mod._INTERPRET = True
+    try:
+        got = np.asarray(conv_mod._conv3x3_pallas(x, k.astype(x.dtype), b), np.float32)
+    finally:
+        conv_mod._INTERPRET = old
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * np.abs(want).max())
+    # XLA grouped form agrees too
+    got_xla = np.asarray(conv_mod.conv3x3_xla(x, k.astype(x.dtype), b), np.float32)
+    np.testing.assert_allclose(got_xla, want, rtol=0.05, atol=0.05 * np.abs(want).max())
+
+
 @pytest.mark.parametrize("C,O,H,W", [(8, 4, 5, 6), (64, 32, 6, 8)])
 def test_up2_weights_match_resize_then_conv(C, O, H, W):
     """Fused bilinear2x+conv3x3 == resize_2d + replicate-pad conv, exactly
