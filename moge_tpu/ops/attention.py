@@ -43,24 +43,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, n_valid: int, scale: float):
-    """Forward that also emits the per-row logsumexp (for the backward)."""
-    q = q_ref[:].astype(jnp.float32) * scale
+    """Forward that also emits the per-row logsumexp (for the backward).
+
+    MXU inputs stay bf16 (fp32 operands run the MXU in multi-pass mode,
+    several times slower); accumulation and softmax are fp32.
+    """
+    q = q_ref[:]
     n_padded, d = k_ref.shape
     num_k_blocks = n_padded // k_block
     q_block = q.shape[0]
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        k = k_ref[pl.ds(i * k_block, k_block), :]
+        v = v_ref[pl.ds(i * k_block, k_block), :]
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1) + i * k_block
         logits = jnp.where(col < n_valid, logits, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
     acc0 = jnp.zeros((q_block, d), jnp.float32)
@@ -74,8 +79,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, n_va
 def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                      *, k_block: int, n_valid: int, scale: float):
     """dQ for one q block: loop over K blocks recomputing P."""
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    q = q_ref[:]
+    do = do_ref[:]
     lse = lse_ref[:]          # (q_block, 1)
     delta = delta_ref[:]      # (q_block, 1)
     n_padded, d = k_ref.shape
@@ -83,15 +88,16 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     q_block = q.shape[0]
 
     def body(i, dq):
-        k = k_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.float32)
+        k = k_ref[pl.ds(i * k_block, k_block), :]
+        v = v_ref[pl.ds(i * k_block, k_block), :]
         logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1) + i * k_block
         # padded q rows have lse = -inf; suppress them to avoid inf*0 NaNs
         p = jnp.where((col < n_valid) & (lse > -1e30), jnp.exp(logits - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dq + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((q_block, d), jnp.float32))
     dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
@@ -100,8 +106,8 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                       *, q_block: int, n_valid: int, scale: float):
     """dK/dV for one k block: loop over Q blocks recomputing P."""
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    k = k_ref[:]
+    v = v_ref[:]
     kb, d = k.shape
     n_padded = q_ref.shape[0]
     num_q_blocks = n_padded // q_block
@@ -109,8 +115,8 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, d
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[pl.ds(i * q_block, q_block), :].astype(jnp.float32)
-        do = do_ref[pl.ds(i * q_block, q_block), :].astype(jnp.float32)
+        q = q_ref[pl.ds(i * q_block, q_block), :]
+        do = do_ref[pl.ds(i * q_block, q_block), :]
         lse = lse_ref[pl.ds(i * q_block, q_block), :]
         delta = delta_ref[pl.ds(i * q_block, q_block), :]
         logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
@@ -118,9 +124,10 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, d
         row = jax.lax.broadcasted_iota(jnp.int32, (q_block, kb), 0) + i * q_block
         valid = (col < n_valid) & (row < n_valid)
         p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        pc = p.astype(do.dtype)
+        dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dk, dv
 

@@ -84,7 +84,8 @@ def conv3x3_xla(
         x = jnp.maximum(x, 0)
     xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
     y = jax.lax.conv_general_dilated(
-        xpad, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        xpad, kernel.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias
@@ -277,11 +278,45 @@ def _fwd(x, kernel, bias, residual, input_relu):
     return _conv3x3_core(x, kernel, bias, residual, input_relu), (x, kernel, bias, residual)
 
 
+def _bwd_formulation(x, kernel, bias, residual, input_relu):
+    """Transposable twin of conv3x3_xla: the conv runs in the activation
+    dtype WITHOUT preferred_element_type (a conv with fp32 preferred output
+    on bf16 operands has no transpose rule for mixed-dtype cotangents);
+    elementwise math stays fp32. Gradients match to activation precision."""
+    if input_relu:
+        x = jnp.maximum(x, 0)
+    xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xpad, kernel.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.astype(jnp.float32) + bias
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _bwd(input_relu, res, g):
     x, kernel, bias, residual = res
-    # Backward of the XLA reference formulation (numerically equivalent).
-    _, vjp = jax.vjp(
-        lambda xx, kk, bb, rr: conv3x3_xla(xx, kk, bb, rr, input_relu), x, kernel, bias, residual)
+    if kernel.ndim == 5:
+        G = kernel.shape[0]
+        B0 = x.shape[0] // G
+
+        def grouped(xx, kk, bb, rr):
+            xg = xx.reshape(G, B0, *xx.shape[1:])
+            if rr is None:
+                yg = jax.vmap(lambda a, b, c: _bwd_formulation(a, b, c, None, input_relu))(
+                    xg, kk, bb)
+            else:
+                rg = rr.reshape(G, B0, *rr.shape[1:])
+                yg = jax.vmap(lambda a, b, c, d: _bwd_formulation(a, b, c, d, input_relu))(
+                    xg, kk, bb, rg)
+            return yg.reshape(xx.shape[0], *yg.shape[2:])
+
+        _, vjp = jax.vjp(grouped, x, kernel, bias, residual)
+    else:
+        _, vjp = jax.vjp(
+            lambda xx, kk, bb, rr: _bwd_formulation(xx, kk, bb, rr, input_relu),
+            x, kernel, bias, residual)
     return vjp(g)
 
 

@@ -38,10 +38,16 @@ import click
 @click.option("--vis_every", type=int, default=0, help="Dump GT-vs-pred depth visualizations every N steps (0 = off).")
 @click.option("--flash", "use_flash", is_flag=True, help="Use the pallas flash-attention kernel (custom VJP) in training.")
 @click.option("--scan_blocks/--no_scan_blocks", default=False, help="lax.scan over ViT blocks: much faster compiles. NOTE: with --fsdp>1 the per-iteration param all-gather can deadlock the *virtual CPU* collectives emulation; fine on real TPU meshes.")
+@click.option("--split_loss_programs", type=click.Choice(["auto", "on", "off"]), default="auto",
+              help="Compile the gradient step as several XLA programs split along loss boundaries "
+                   "(model fwd / per-patch-loss grads / model vjp). Works around a single-chip TPU "
+                   "runtime fault when multiple patch-local losses share one program; costs one "
+                   "extra model forward per step. auto = on for the TPU backend when the config "
+                   "has >1 patch-local loss.")
 def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps, num_iterations,
          save_every, log_every, checkpoint_arg, backbone_checkpoint, enable_ema, fsdp, multihost,
          coordinator_address, num_processes, process_id, seed, num_tokens_quantum, image_size_quantum,
-         vis_every, use_flash, scan_blocks):
+         vis_every, use_flash, scan_blocks, split_loss_programs):
     if multihost:
         # Must run before any jax backend touch.
         from ..parallel.distributed import initialize_distributed
@@ -58,7 +64,7 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     from ..parallel.mesh import make_mesh, shard_batch, shard_params
     from ..train.dataloader import TrainDataLoaderPipeline
     from ..train.step import (accumulate_grads, init_train_state, make_apply_step,
-                              make_grad_step, make_train_step, scale_grads)
+                              make_grad_step, make_split_grad_step, make_train_step, scale_grads)
     from ..train.utils import build_optimizer
     from ..utils.tools import key_average
 
@@ -180,17 +186,44 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     acc_fn = jax.jit(accumulate_grads, donate_argnums=(0, 1))
     scale_fn = jax.jit(scale_grads, donate_argnums=(0,))
 
+    n_local_losses = max(
+        sum(1 for s in spec.values() if s.get("function") == "affine_invariant_local_loss")
+        for spec in config["loss"].values()
+    ) if config["loss"] else 0
+    use_split = split_loss_programs == "on" or (
+        split_loss_programs == "auto"
+        and jax.default_backend() == "tpu"
+        and n_local_losses > 1
+    )
+    if use_split and is_main_process:
+        print("loss-program splitting: on (see --split_loss_programs)")
+
+    def get_grad_fn(num_tokens: int):
+        if num_tokens not in grad_cache:
+            if use_split:
+                grad_cache[num_tokens] = make_split_grad_step(
+                    model.module, config["loss"], label_types, num_tokens)
+            else:
+                fn = make_grad_step(model.module, config["loss"], label_types, num_tokens)
+                grad_cache[num_tokens] = jax.jit(fn)
+        return grad_cache[num_tokens]
+
     def get_step_fn(num_tokens: int):
+        if use_split:
+            grad_fn = get_grad_fn(num_tokens)
+
+            def split_step(state, batch, sub):
+                grads, metrics = grad_fn(state.params, batch, sub)
+                state, grads_ok = apply_fn(state, grads)
+                metrics = dict(metrics)
+                metrics["grads_ok"] = grads_ok.astype(jnp.float32)
+                return state, metrics
+
+            return split_step
         if num_tokens not in step_cache:
             fn = make_train_step(model.module, tx, config["loss"], label_types, num_tokens)
             step_cache[num_tokens] = jax.jit(fn, donate_argnums=(0,))
         return step_cache[num_tokens]
-
-    def get_grad_fn(num_tokens: int):
-        if num_tokens not in grad_cache:
-            fn = make_grad_step(model.module, config["loss"], label_types, num_tokens)
-            grad_cache[num_tokens] = jax.jit(fn)
-        return grad_cache[num_tokens]
 
     # quantize sampled image sizes to bound recompiles
     data_config = dict(config["data"])

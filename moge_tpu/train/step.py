@@ -75,14 +75,25 @@ def compute_losses(
     batch: Dict[str, jax.Array],
     loss_config: Dict[str, Dict],
     label_types: Sequence[str],
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    only: Optional[Sequence[str]] = None,
+    gt_metric_scale_in: Optional[jax.Array] = None,
+    return_scale: bool = False,
+):
     """Total scalar loss + metrics for a batch.
 
     ``batch``: image (B,H,W,3), depth (B,H,W), normal (B,H,W,3) [optional],
     depth_mask_fin/inf (B,H,W) bool, intrinsics (B,3,3), label_type_idx (B,)
     int index into ``label_types``, is_metric (B,) bool.
+
+    ``only`` restricts evaluation to the named loss entries (used by the
+    split-program trainer path, see :func:`make_split_grad_step`);
+    ``gt_metric_scale_in`` supplies the global alignment scale when the
+    global loss lives in a different program. With ``return_scale`` the
+    (stop-gradient) global scale is returned as a third element.
     """
     entries, weights = _loss_weights_per_instance(loss_config, label_types)
+    if only is not None:
+        entries = {k: v for k, v in entries.items() if k in only}
     lt_idx = batch["label_type_idx"]
 
     gt_points = depth_map_to_point_map(batch["depth"], batch["intrinsics"])
@@ -99,7 +110,7 @@ def compute_losses(
 
     total = jnp.zeros((), jnp.float32)
     metrics: Dict[str, jax.Array] = {}
-    gt_metric_scale = None
+    gt_metric_scale = gt_metric_scale_in
 
     # Global loss first (provides gt alignment scale for metric/local losses)
     for name, spec in entries.items():
@@ -149,8 +160,14 @@ def compute_losses(
         for k, v in misc.items():
             metrics[f"{name}.{k}"] = v
 
-    metrics["monitoring.std"] = pred_points.std() if pred_points is not None else jnp.zeros(())
-    metrics["total"] = total
+    if only is None:
+        metrics["monitoring.std"] = pred_points.std() if pred_points is not None else jnp.zeros(())
+        metrics["total"] = total
+    if return_scale:
+        scale_out = gt_metric_scale
+        if scale_out is None:
+            scale_out = jnp.zeros((lt_idx.shape[0],), jnp.float32)
+        return total, metrics, scale_out
     return total, metrics
 
 
@@ -175,6 +192,92 @@ def make_grad_step(
             return compute_losses(rng, output, batch, loss_config, label_types)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, metrics
+
+    return grad_step
+
+
+def make_split_grad_step(
+    module,
+    loss_config: Dict[str, Dict],
+    label_types: Sequence[str],
+    num_tokens: int,
+) -> Callable:
+    """Gradient step compiled as SEVERAL XLA programs instead of one.
+
+    On the single-chip TPU runtime used here, the fused program containing
+    the model plus all alignment losses reliably crashes the TPU worker when
+    more than one patch-local loss is present (reproduced down to a
+    loss-only program; each loss alone executes fine — a runtime fault, not
+    a numerics bug; remat and optimization barriers do not avoid it). This
+    path sidesteps it by splitting compilation along loss boundaries:
+
+      P1  jit: model forward -> outputs
+      P2g jit: all non-patch losses (+ the global alignment scale), grads
+          w.r.t. the model outputs
+      P2i jit (one per patch-local loss entry): that loss's output-grads
+      P3  jit: model VJP with the summed output cotangent
+
+    Exact same math as the fused step (the local-loss PRNG chain replicates
+    the fused order), at the cost of one extra model forward inside P3.
+    """
+    entries, _ = _loss_weights_per_instance(loss_config, label_types)
+    local_names = [n for n, s in entries.items() if s["function"] == "affine_invariant_local_loss"]
+    other_names = [n for n in entries if n not in local_names]
+    has_global = any(s["function"] == "affine_invariant_global_loss" for s in entries.values())
+
+    @jax.jit
+    def p1_forward(params, image):
+        return module.apply({"params": params}, image, num_tokens)
+
+    @jax.jit
+    def p2_other(rng, output, batch):
+        def f(out):
+            total, metrics, scale = compute_losses(
+                rng, out, batch, loss_config, label_types,
+                only=other_names, return_scale=True)
+            return total, (metrics, scale)
+        (total, (metrics, scale)), cot = jax.value_and_grad(f, has_aux=True)(output)
+        return total, metrics, scale, cot
+
+    def make_p2_local(name):
+        @jax.jit
+        def p2_local(rng, output, batch, scale):
+            def f(out):
+                return compute_losses(
+                    rng, out, batch, loss_config, label_types,
+                    only=[name],
+                    gt_metric_scale_in=scale if has_global else None)
+            (total, metrics), cot = jax.value_and_grad(f, has_aux=True)(output)
+            return total, metrics, cot
+        return p2_local
+
+    p2_locals = {n: make_p2_local(n) for n in local_names}
+
+    @jax.jit
+    def p3_vjp(params, image, cot):
+        _, vjp = jax.vjp(lambda p: module.apply({"params": p}, image, num_tokens), params)
+        return vjp(cot)[0]
+
+    def grad_step(params, batch: Dict[str, jax.Array], rng: jax.Array):
+        image = batch["image"]
+        output = p1_forward(params, image)
+        total, metrics, scale, cot = p2_other(rng, output, batch)
+        # Replicate the fused path's per-local-entry PRNG split chain so the
+        # anchor sampling matches the single-program step exactly.
+        carry = rng
+        for name in entries:
+            if name not in local_names:
+                continue
+            t_l, m_l, cot_l = p2_locals[name](carry, output, batch, scale)
+            carry, _ = jax.random.split(carry)
+            total = total + t_l
+            metrics = {**metrics, **m_l}
+            cot = jax.tree.map(jnp.add, cot, cot_l)
+        grads = p3_vjp(params, image, cot)
+        metrics["total"] = total
+        if output.get("points") is not None:
+            metrics["monitoring.std"] = output["points"].std()
         return grads, metrics
 
     return grad_step

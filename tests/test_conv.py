@@ -97,6 +97,21 @@ def test_pallas_fused_relu_and_residual_interpret(C, O):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * np.abs(want).max())
 
 
+def test_bf16_activation_fp32_kernel_grads():
+    """Training dtype mix: bf16 activations, fp32 params (regression for the
+    backward path not casting the kernel)."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 5, 6, 8), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 8, 4) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(4), jnp.float32)
+    r = jnp.asarray(rng.randn(1, 5, 6, 4), jnp.bfloat16)
+    g = jax.grad(
+        lambda k, b: jnp.sum(conv3x3_replicate(x, k, b, residual=r, input_relu=True)
+                             .astype(jnp.float32) ** 2),
+        argnums=(0, 1))(k, b)
+    assert all(np.isfinite(np.asarray(gg)).all() for gg in g)
+
+
 def test_fused_relu_residual_grads_flow():
     rng = np.random.RandomState(8)
     x = jnp.asarray(rng.randn(1, 5, 6, 8), jnp.float32)

@@ -276,3 +276,39 @@ def test_loss_spec_mismatch_rejected():
                          "params": {"align_resolution": 8}}},
     }
     _loss_weights_per_instance(ok, ["A", "B"])  # weight-only variation is fine
+
+
+def test_split_grad_step_matches_fused():
+    """make_split_grad_step (multi-program workaround for the single-chip
+    TPU runtime fault with several patch-local losses in one program) must
+    produce the same gradients and total as the fused make_grad_step,
+    including the local losses' PRNG split chain."""
+    from moge_tpu.train.step import make_split_grad_step
+
+    loss_config = {
+        "invalid": {},
+        "A": {
+            "global": {"function": "affine_invariant_global_loss", "weight": 1.0,
+                       "params": {"align_resolution": 8}},
+            "patch_4": {"function": "affine_invariant_local_loss", "weight": 1.0,
+                        "params": {"level": 4, "align_resolution": 4, "num_patches": 4}},
+            "patch_8": {"function": "affine_invariant_local_loss", "weight": 1.0,
+                        "params": {"level": 8, "align_resolution": 4, "num_patches": 8}},
+            "mask": {"function": "mask_bce_loss", "weight": 0.1},
+        },
+    }
+    lts = sorted(loss_config.keys())
+    module, tx, state = _tiny_setup()
+    rng = np.random.default_rng(3)
+    batch = _tiny_batch(rng)
+    batch["label_type_idx"] = jnp.zeros((4,), jnp.int32)  # all "A"
+    key = jax.random.PRNGKey(5)
+
+    fused = jax.jit(make_grad_step(module, loss_config, lts, 0))
+    split = make_split_grad_step(module, loss_config, lts, 0)
+
+    g1, m1 = fused(state.params, batch, key)
+    g2, m2 = split(state.params, batch, key)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
