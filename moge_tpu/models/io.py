@@ -41,7 +41,21 @@ def _maybe_download(path_or_repo: str) -> str:
 
 
 def load_checkpoint(path_or_repo, version: str = "v2") -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Load a MoGe checkpoint -> (model_config, flax params)."""
+    """Load a MoGe checkpoint -> (model_config, flax params).
+
+    Accepts reference-format ``.pt`` files (converted to flax pytrees) and
+    moge_tpu-native checkpoint directories written by the trainer /
+    ``save_native_checkpoint`` — so ``from_pretrained`` works on both the
+    published checkpoints and this framework's own training output.
+    """
+    p = Path(str(path_or_repo))
+    if p.is_dir() and (p / "model_config.json").exists():
+        from .convert import adapt_block_layout
+
+        config, params = load_native_checkpoint(p)
+        # Trainer checkpoints may be in the scan_blocks (depth-stacked) layout;
+        # normalize to the unrolled layout inference modules use by default.
+        return config, adapt_block_layout(params, stacked=False)
     path = _maybe_download(str(path_or_repo))
     ckpt = _read_torch_checkpoint(path)
     if version == "v2":

@@ -48,6 +48,8 @@ def heads_batchable(cfgs: Sequence[Dict[str, Any]], remat: bool = False) -> bool
         for key in ("dim_in", "dim_res_blocks", "num_res_blocks", "resamplers"):
             if list(c.get(key) or []) != list(c0.get(key) or []):
                 return False
+        if c.get("dim_times_res_block_hidden", 1) != c0.get("dim_times_res_block_hidden", 1):
+            return False
         if c.get("res_block_in_norm", "layer_norm") != "none":
             return False
         if c.get("res_block_hidden_norm", "group_norm") != "none":
@@ -97,7 +99,6 @@ def apply_heads_batched(
     res_counts = (c0["num_res_blocks"] if isinstance(c0["num_res_blocks"], (list, tuple))
                   else [c0["num_res_blocks"]] * n)
     rtypes = list(c0["resamplers"])
-    hidden_mult = c0.get("dim_times_res_block_hidden", 1)
     p_outs = [c["dim_out"][n - 1] for c in cfgs]
     p_pad = max(32, max(p_outs))
     B = in_features[0].shape[0]

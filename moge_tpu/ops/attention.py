@@ -249,6 +249,12 @@ def flash_attention(
     b, n, h, d = q.shape
     if k_block <= 0:
         k_block = _round_up(n, max(q_block, 128))
+        # Whole-sequence K blocks hold (q_block, n_pad) fp32 logits + probs in
+        # VMEM; beyond ~4k keys that outgrows the 64 MB budget and Mosaic
+        # compilation fails. Past the validated MoGe regime (N<=3601), fall
+        # back to streaming K blocks with the online-softmax rescale.
+        if k_block > 4096:
+            k_block = 512
     n_pad = _round_up(n, max(q_block, k_block))
 
     def pad(x):

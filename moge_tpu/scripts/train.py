@@ -36,7 +36,10 @@ import click
 @click.option("--num_tokens_quantum", type=int, default=100, help="Bucket size for random per-step num_tokens.")
 @click.option("--image_size_quantum", type=int, default=32, help="Bucket (pixel multiple) for sampled image sizes.")
 @click.option("--vis_every", type=int, default=0, help="Dump GT-vs-pred depth visualizations every N steps (0 = off).")
-@click.option("--flash", "use_flash", is_flag=True, help="Use the pallas flash-attention kernel (custom VJP) in training.")
+@click.option("--flash/--no_flash", "use_flash", default=True, show_default=True,
+              help="Pallas flash-attention kernel (custom VJP) in training. Default ON: the flash "
+                   "backward benches ~28% faster at 3600 tokens, grads are parity-tested vs the XLA "
+                   "path (tests/test_attention.py), and non-TPU backends auto-fall back to XLA SDPA.")
 @click.option("--scan_blocks/--no_scan_blocks", default=False, help="lax.scan over ViT blocks: much faster compiles. NOTE: with --fsdp>1 the per-iteration param all-gather can deadlock the *virtual CPU* collectives emulation; fine on real TPU meshes.")
 @click.option("--split_loss_programs", type=click.Choice(["auto", "on", "off"]), default="auto",
               help="Compile the gradient step as several XLA programs split along loss boundaries "
@@ -186,10 +189,16 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     acc_fn = jax.jit(accumulate_grads, donate_argnums=(0, 1))
     scale_fn = jax.jit(scale_grads, donate_argnums=(0,))
 
-    n_local_losses = max(
-        sum(1 for s in spec.values() if s.get("function") == "affine_invariant_local_loss")
+    # The fused program evaluates the UNION of loss-entry names across label
+    # types (train/step.py builds one program from all tables), so the
+    # local-loss count that decides auto-splitting must be the number of
+    # distinct local-loss names overall — not the per-table max.
+    n_local_losses = len({
+        name
         for spec in config["loss"].values()
-    ) if config["loss"] else 0
+        for name, s in spec.items()
+        if s.get("function") == "affine_invariant_local_loss"
+    })
     use_split = split_loss_programs == "on" or (
         split_loss_programs == "auto"
         and jax.default_backend() == "tpu"

@@ -57,3 +57,36 @@ def test_flash_backward_matches_sdpa_grad():
 
     for got, ref, name in [(gq, gq_ref, "dq"), (gk, gk_ref, "dk"), (gv, gv_ref, "dv")]:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-4, err_msg=name)
+
+
+def test_flash_fwd_bwd_parity_under_jit_default_blocks():
+    """The exact configuration training uses by default (--flash on): the
+    whole-sequence k_block=0 single-pass-softmax path, fwd+bwd inside jit."""
+    rng = np.random.default_rng(3)
+    b, n, h, d = 1, 200, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    @jax.jit
+    def ref_val_grads(q, k, v):
+        def loss(q, k, v):
+            return jnp.sum(sdpa_xla(q, k, v) * cot)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    val_ref, grads_ref = ref_val_grads(q, k, v)
+
+    with pltpu.force_tpu_interpret_mode():
+        @jax.jit
+        def flash_val_grads(q, k, v):
+            def loss(q, k, v):
+                # q_block/k_block defaults: 512 / 0 (whole padded sequence)
+                return jnp.sum(flash_attention(q, k, v) * cot)
+            return jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        val, grads = flash_val_grads(q, k, v)
+
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=2e-3)
+    for got, ref, name in zip(grads, grads_ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-4, err_msg=name)

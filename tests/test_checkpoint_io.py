@@ -1,6 +1,7 @@
 """Tests: torch-free .pt reader and checkpoint round trips."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -68,6 +69,7 @@ def test_load_pt_blocks_arbitrary_code(tmp_path):
     assert raised
 
 
+@pytest.mark.slow
 def test_hub_backbone_init_graft(tmp_path):
     """--backbone_checkpoint path: a hub-format DINOv2 state_dict (raw .pth,
     reference init_weights downloads it, train.py:188-192) converts and grafts

@@ -17,6 +17,8 @@ from moge_tpu.models.dinov2 import VIT_ARCHS, DinoViT  # noqa: E402
 from moge_tpu.models.convert import convert_dinov2_backbone  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # compile-heavy golden tests; deselect with -m 'not slow'
+
 @pytest.fixture(scope="module")
 def ref_vits():
     torch.manual_seed(0)

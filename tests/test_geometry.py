@@ -128,6 +128,7 @@ def test_dilate_with_mask(filt):
     )
 
 
+@pytest.mark.slow
 def test_refine_depth_with_normal():
     rng = np.random.default_rng(9)
     h, w = 20, 24

@@ -15,6 +15,8 @@ from moge.model import v1 as ref_v1  # noqa: E402
 from moge_tpu.models.convert import convert_moge1  # noqa: E402
 from moge_tpu.models.v1 import MoGeModel  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy golden tests; deselect with -m 'not slow'
+
 TEST_CONFIG = {
     "encoder": "dinov2_vits14",
     "intermediate_layers": 4,

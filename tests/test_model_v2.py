@@ -18,6 +18,8 @@ from moge_tpu.models.v2 import MoGeModel  # noqa: E402
 # Small config with ViT-S backbone covering all structural features of the
 # published v2 configs (conv_transpose/bilinear resamplers, per-level uv
 # concat, exp remap, all four heads). configs/train/v2.json is the schema.
+pytestmark = pytest.mark.slow  # compile-heavy golden tests; deselect with -m 'not slow'
+
 TEST_CONFIG = {
     "encoder": {"backbone": "dinov2_vits14", "intermediate_layers": [2, 5, 8, 11], "dim_out": 64},
     "neck": {

@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(__file__))
 from test_model_v2 import TEST_CONFIG  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # compile-heavy golden tests; deselect with -m 'not slow'
+
 def test_batched_heads_match_sequential(monkeypatch):
     model = MoGeModel(dict(TEST_CONFIG), None, dtype=jnp.float32)
     model.init_random(seed=0, image_hw=(112, 112))

@@ -139,6 +139,7 @@ def _tiny_setup(lr_scheduler=None, enable_ema=True, seed=0):
     return module, tx, state
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_equals_full_batch():
     """accum=2 over two half-batches must equal ONE full-batch optimizer step
     (mean-of-grads), with the LR schedule advancing once per outer step
@@ -197,6 +198,7 @@ def test_nan_microbatch_poisons_accumulated_step():
         np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
+@pytest.mark.slow
 def test_full_train_state_checkpoint_resume(tmp_path):
     """Train 4 steps / save at 2 / resume -> bit-identical params, EMA, and
     optimizer state vs the uninterrupted run (VERDICT item 4; reference
@@ -278,6 +280,7 @@ def test_loss_spec_mismatch_rejected():
     _loss_weights_per_instance(ok, ["A", "B"])  # weight-only variation is fine
 
 
+@pytest.mark.slow
 def test_split_grad_step_matches_fused():
     """make_split_grad_step (multi-program workaround for the single-chip
     TPU runtime fault with several patch-local losses in one program) must

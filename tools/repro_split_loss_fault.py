@@ -1,0 +1,97 @@
+"""Minimal repro for the single-chip TPU runtime fault behind
+--split_loss_programs (see moge_tpu/train/step.py:make_split_grad_step).
+
+Symptom: one XLA program that differentiates TWO (or more)
+affine_invariant_local_loss evaluations over the same predicted point map
+reliably crashes the TPU worker process (the runtime dies; it is not a
+Python exception or a NaN). Each loss alone — or the two losses compiled as
+separate programs — executes fine. No model is involved: the fault
+reproduces on a loss-only program over synthetic tensors.
+
+Usage (on the TPU host):
+    python tools/repro_split_loss_fault.py --mode single4    # OK
+    python tools/repro_split_loss_fault.py --mode single16   # OK
+    python tools/repro_split_loss_fault.py --mode separate   # OK (two programs)
+    python tools/repro_split_loss_fault.py --mode fused      # expected: worker crash
+
+Each mode prints "OK <mode> loss=<...> grad_norm=<...>" on success.
+See docs/split_loss_tpu_fault.md for the investigation record.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["single4", "single16", "separate", "fused"], required=True)
+    ap.add_argument("--hw", type=int, nargs=2, default=(592, 592),
+                    help="point-map height width (default: 16*37 = the 1369-token decoder size)")
+    ap.add_argument("--batch", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from moge_tpu.train.losses import affine_invariant_local_loss
+
+    if jax.default_backend() != "tpu":
+        print(f"NOTE: backend is {jax.default_backend()!r}; the fault only "
+              "manifests on the TPU runtime (CPU/GPU run all modes fine).")
+
+    h, w = args.hw
+    b = args.batch
+    rng = np.random.default_rng(0)
+    # plausible scene: smooth positive depth, pred = gt + noise
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    z = 2.0 + yy / h + 0.3 * np.sin(xx / 17.0)
+    gt = np.stack([(xx / w - 0.5) * z, (yy / h - 0.5) * z, z], axis=-1)
+    gt = np.broadcast_to(gt, (b, h, w, 3)).copy()
+    pred = gt + 0.01 * rng.standard_normal(gt.shape).astype(np.float32)
+    gt_j = jnp.asarray(gt)
+    pred_j = jnp.asarray(pred)
+    focal = jnp.full((b,), 1.0, jnp.float32)
+    scale = jnp.ones((b,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def one_loss(level):
+        def f(p, k):
+            loss_b, _ = affine_invariant_local_loss(k, p, gt_j, focal, scale, level=level)
+            return jnp.mean(loss_b)
+        return f
+
+    def fused(p, k):
+        k1, k2 = jax.random.split(k)
+        l4, _ = affine_invariant_local_loss(k1, p, gt_j, focal, scale, level=4)
+        l16, _ = affine_invariant_local_loss(k2, p, gt_j, focal, scale, level=16)
+        return jnp.mean(l4) + jnp.mean(l16)
+
+    def report(name, loss, grad):
+        gn = float(jnp.sqrt(jnp.sum(jnp.square(grad))))
+        print(f"OK {name} loss={float(loss):.6f} grad_norm={gn:.6f}")
+
+    if args.mode == "single4":
+        loss, grad = jax.jit(jax.value_and_grad(one_loss(4)))(pred_j, key)
+        report("single4", loss, grad)
+    elif args.mode == "single16":
+        loss, grad = jax.jit(jax.value_and_grad(one_loss(16)))(pred_j, key)
+        report("single16", loss, grad)
+    elif args.mode == "separate":
+        k1, k2 = jax.random.split(key)
+        l1, g1 = jax.jit(jax.value_and_grad(one_loss(4)))(pred_j, k1)
+        l2, g2 = jax.jit(jax.value_and_grad(one_loss(16)))(pred_j, k2)
+        report("separate", l1 + l2, g1 + g2)
+    else:
+        print("running fused two-local-loss grad program (expected: TPU worker crash)...",
+              flush=True)
+        loss, grad = jax.jit(jax.value_and_grad(fused))(pred_j, key)
+        report("fused", loss, grad)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
