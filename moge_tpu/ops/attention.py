@@ -10,12 +10,20 @@ only Q, K, V and the output.
 
 Design points for this model family:
   * head_dim 64, heads 6..24, N in [1201, 3601] (+1 cls token): N is padded
-    to the K-block multiple and padded keys are masked with -inf before the
-    running max.
+    to the K-block multiple; padded keys are masked with an additive -inf
+    bias ROW passed into the kernel (one add per logit — cheaper than the
+    per-element iota+compare+select it replaced; the VPU work per logit is
+    what bounds this kernel after the d=64 half-rate MXU matmuls).
+  * q is pre-scaled by d**-0.5 once over (N, d) instead of scaling the
+    (N, N) logits; for d=64 the scale is an exact power of two, so numerics
+    are bit-identical.
   * fp32 accumulation throughout; bf16 in/out.
   * grid (batch*heads, q_blocks); K/V stream block-by-block via a fori loop
     reading VMEM-resident full K/V per (batch, head) — K/V for one head at
-    N=3601 is 2 x 3648 x 64 x 2B = 0.9 MB, comfortably in VMEM.
+    N=3601 is 2 x 3648 x 64 x 2B = 0.9 MB, comfortably in VMEM. When one K
+    block covers the whole padded sequence (the default for N<=4096) the
+    kernel emits the straight-line single-pass softmax with no running-max
+    rescale.
 """
 
 from __future__ import annotations
@@ -30,11 +38,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Defaults from an in-encoder sweep on v5e at N=1370 (ViT-L): q=512 with the
-# whole padded sequence per K step (k_block=0 sentinel -> single-pass softmax,
-# no online rescale) ran 13.4 -> 11.5 ms vs the 256/512 streaming config.
-# K/V for one head at N<=3601 is <1 MB, so whole-sequence K blocks fit VMEM.
-DEFAULT_Q_BLOCK = 512
+# Defaults from in-encoder sweeps on v5e (N=1370 and N=3601, ViT-L): whole-
+# padded-sequence K steps (k_block=0 sentinel -> single-pass softmax, no
+# online rescale) beat streaming K at every N in the MoGe regime. q_block is
+# N-adaptive: measured in-jit chains give q=256 ~ q=512 > q=128 at N=1370
+# (grid overhead dominates) but q=128 > q=256 > q=512 at N=3601 (smaller
+# padded length and logits tile win) — see tools/sweep_flash_3600.py.
+DEFAULT_Q_BLOCK = 0  # 0 -> adaptive: 256 for N <= 2048, 128 above
 DEFAULT_K_BLOCK = 0  # 0 -> whole padded sequence
 
 
@@ -42,24 +52,40 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, n_valid: int, scale: float):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, k_block: int):
     """Forward that also emits the per-row logsumexp (for the backward).
 
     MXU inputs stay bf16 (fp32 operands run the MXU in multi-pass mode,
-    several times slower); accumulation and softmax are fp32.
+    several times slower); accumulation and softmax are fp32. ``bias_ref``
+    is a (1, n_padded) fp32 row: 0 for valid keys, -inf for padding.
     """
     q = q_ref[:]
     n_padded, d = k_ref.shape
     num_k_blocks = n_padded // k_block
     q_block = q.shape[0]
 
+    if num_k_blocks == 1:
+        # Single-pass softmax: no running max, no rescale.
+        k = k_ref[:]
+        v = v_ref[:]
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[0]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
+        return
+
     def body(i, carry):
         acc, m, l = carry
         k = k_ref[pl.ds(i * k_block, k_block), :]
         v = v_ref[pl.ds(i * k_block, k_block), :]
-        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1) + i * k_block
-        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[0, pl.ds(i * k_block, k_block)]
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
@@ -76,9 +102,13 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, n_va
     lse_ref[:] = (m + jnp.log(jnp.maximum(l, 1e-30)))
 
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                     *, k_block: int, n_valid: int, scale: float):
-    """dQ for one q block: loop over K blocks recomputing P."""
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref, dq_ref,
+                     *, k_block: int):
+    """dQ for one q block: loop over K blocks recomputing P.
+
+    Padded q ROWS need no masking: their cotangent rows are zero, so
+    dp = do@v^T = 0 and delta = 0 give ds = p*(0-0) = 0.
+    """
     q = q_ref[:]
     do = do_ref[:]
     lse = lse_ref[:]          # (q_block, 1)
@@ -90,28 +120,31 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def body(i, dq):
         k = k_ref[pl.ds(i * k_block, k_block), :]
         v = v_ref[pl.ds(i * k_block, k_block), :]
-        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1) + i * k_block
-        # padded q rows have lse = -inf; suppress them to avoid inf*0 NaNs
-        p = jnp.where((col < n_valid) & (lse > -1e30), jnp.exp(logits - lse), 0.0)
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        # bias = -inf for padded keys -> p = 0 there
+        p = jnp.exp(logits + bias_ref[0, pl.ds(i * k_block, k_block)] - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((q_block, d), jnp.float32))
-    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                      *, q_block: int, n_valid: int, scale: float):
-    """dK/dV for one k block: loop over Q blocks recomputing P."""
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref, dk_ref, dv_ref,
+                      *, q_block: int):
+    """dK/dV for one k block: loop over Q blocks recomputing P.
+
+    Padded q rows contribute nothing (zero do rows => ds = 0, p^T @ do = 0),
+    so only the key-side -inf bias is applied.
+    """
     k = k_ref[:]
     v = v_ref[:]
     kb, d = k.shape
     n_padded = q_ref.shape[0]
     num_q_blocks = n_padded // q_block
-    kv_start = pl.program_id(1) * kb
+    bias = bias_ref[0, pl.ds(pl.program_id(1) * kb, kb)]
 
     def body(i, carry):
         dk, dv = carry
@@ -119,11 +152,8 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, d
         do = do_ref[pl.ds(i * q_block, q_block), :]
         lse = lse_ref[pl.ds(i * q_block, q_block), :]
         delta = delta_ref[pl.ds(i * q_block, q_block), :]
-        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (q_block, kb), 1) + kv_start
-        row = jax.lax.broadcasted_iota(jnp.int32, (q_block, kb), 0) + i * q_block
-        valid = (col < n_valid) & (row < n_valid)
-        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp(logits + bias - lse)
         pc = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -134,27 +164,29 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, d
     dk0 = jnp.zeros((kb, d), jnp.float32)
     dv0 = jnp.zeros((kb, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
-    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_core(qp, kp, vp, n_valid: int, q_block: int, k_block: int):
-    out, _lse = _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_core(qp, kp, vp, bias, q_block: int, k_block: int):
+    """Attention over padded (B*H, n_pad, d) inputs; ``qp`` is PRE-SCALED by
+    d**-0.5 and ``bias`` is the (1, n_pad) 0/-inf key-validity row."""
+    out, _lse = _flash_core_fwd_impl(qp, kp, vp, bias, q_block, k_block)
     return out
 
 
-def _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block):
+def _flash_core_fwd_impl(qp, kp, vp, bias, q_block, k_block):
     bh, n_pad, d = qp.shape
-    scale = d ** -0.5
     grid = (bh, n_pad // q_block)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, k_block=k_block, n_valid=n_valid, scale=scale),
+        functools.partial(_flash_fwd_kernel, k_block=k_block),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
@@ -165,24 +197,23 @@ def _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block):
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
-    )(qp, kp, vp)
+    )(qp, kp, vp, bias)
     return out, lse
 
 
-def _flash_core_fwd(qp, kp, vp, n_valid, q_block, k_block):
-    out, lse = _flash_core_fwd_impl(qp, kp, vp, n_valid, q_block, k_block)
-    return out, (qp, kp, vp, out, lse)
+def _flash_core_fwd(qp, kp, vp, bias, q_block, k_block):
+    out, lse = _flash_core_fwd_impl(qp, kp, vp, bias, q_block, k_block)
+    return out, (qp, kp, vp, bias, out, lse)
 
 
-def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
-    qp, kp, vp, out, lse = residuals
+def _flash_core_bwd(q_block, k_block, residuals, do):
+    qp, kp, vp, bias, out, lse = residuals
     bh, n_pad, d = qp.shape
-    scale = d ** -0.5
     # delta_i = sum_d dO_i O_i (rowwise), fp32
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, k_block=k_block, n_valid=n_valid, scale=scale),
+        functools.partial(_flash_dq_kernel, k_block=k_block),
         grid=(bh, n_pad // q_block),
         in_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
@@ -191,14 +222,15 @@ def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
-    )(qp, kp, vp, do, lse, delta)
+    )(qp, kp, vp, do, lse, delta, bias)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, q_block=q_block, n_valid=n_valid, scale=scale),
+        functools.partial(_flash_dkv_kernel, q_block=q_block),
         grid=(bh, n_pad // k_block),
         in_specs=[
             pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
@@ -207,6 +239,7 @@ def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
             pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((None, n_pad, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((None, n_pad, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
@@ -217,8 +250,8 @@ def _flash_core_bwd(n_valid, q_block, k_block, residuals, do):
             jax.ShapeDtypeStruct((bh, n_pad, d), vp.dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
-    )(qp, kp, vp, do, lse, delta)
-    return dq, dk, dv
+    )(qp, kp, vp, do, lse, delta, bias)
+    return dq, dk, dv, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -244,9 +277,11 @@ def flash_attention(
             eq, ek = (int(s) for s in env.split(","))
         else:
             eq, ek = DEFAULT_Q_BLOCK, DEFAULT_K_BLOCK
-        q_block = q_block or eq
-        k_block = k_block or ek
+        q_block = q_block if q_block is not None else eq
+        k_block = k_block if k_block is not None else ek
     b, n, h, d = q.shape
+    if q_block <= 0:
+        q_block = 256 if n <= 2048 else 128
     if k_block <= 0:
         k_block = _round_up(n, max(q_block, 128))
         # Whole-sequence K blocks hold (q_block, n_pad) fp32 logits + probs in
@@ -260,12 +295,17 @@ def flash_attention(
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
 
+    # Scale q ONCE over (N, d) instead of scaling the (N, N) logits inside
+    # the kernel. For d a power of four the scale is a power of two and this
+    # is bit-exact; otherwise it only reorders a bf16 rounding.
+    scale = d ** -0.5
     # (B, N, H, D) -> (B*H, N_pad, D)
-    qp = pad(q).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
+    qp = pad(q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
     kp = pad(k).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
     vp = pad(v).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
+    bias = jnp.where(jnp.arange(n_pad) < n, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
 
-    out = _flash_core(qp, kp, vp, n, q_block, k_block)
+    out = _flash_core(qp, kp, vp, bias, q_block, k_block)
     out = out.reshape(b, h, n_pad, d).transpose(0, 2, 1, 3)
     return out[:, :n]
 

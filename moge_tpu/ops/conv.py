@@ -5,7 +5,7 @@ Why this exists: the MoGe ConvStack decoder (reference moge/model/modules.py:
 channel counts (64 in / 64 or 32 out at the two finest pyramid levels). On
 TPU the lane (minor) dimension is 128 wide, so XLA's conv kernels execute
 C=64/O=64 shapes at ~19 TF/s on v5e while the same convs with C>=128 run at
-93-128 TF/s (measured; see docs/perf.md). This module fixes the thin-channel
+93-128 TF/s (measured; see BENCHMARKS.md). This module fixes the thin-channel
 case with a pair-domain Pallas kernel and leaves C>=128 to XLA, which is
 already at the MXU roofline there.
 
