@@ -99,7 +99,13 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU default = exact erf
+        # torch nn.GELU default = exact erf; the fp32 path matches it exactly.
+        # In reduced-precision (bf16) compute the tanh approximation is used:
+        # its error (<~1e-3 absolute) sits at the bf16 rounding floor of the
+        # activations themselves, and erf costs ~0.15 ms/layer on the VPU at
+        # N=3601 (~3.8 ms per ViT-L pass; measured in-jit, see BENCHMARKS.md).
+        exact = jnp.dtype(self.dtype) != jnp.bfloat16
+        x = nn.gelu(x, approximate=not exact)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
         return x
 
