@@ -62,6 +62,22 @@ def _compute_scale(in_size: int, out_size: int, scale_factor: Optional[float]) -
 
 
 @functools.lru_cache(maxsize=None)
+def _bilinear_taps(in_size: int, out_size: int, scale_factor: Optional[float]):
+    """Per-output (i0, i1, lam) for non-antialiased bilinear — the same ATen
+    sampling math as resize_matrix's bilinear branch (src computed in fp32,
+    clamped at 0, indices clamped to the input range)."""
+    scale = _compute_scale(in_size, out_size, scale_factor)
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (np.float32(scale) * (dst.astype(np.float32) + np.float32(0.5)) - np.float32(0.5)).astype(np.float64)
+    src = np.maximum(src, 0.0)
+    x0 = np.floor(src).astype(np.int64)
+    lam = np.clip(src - x0, 0.0, 1.0)
+    x0 = np.clip(x0, 0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    return x0.astype(np.int32), x1.astype(np.int32), lam.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def resize_matrix(
     in_size: int,
     out_size: int,
@@ -153,6 +169,27 @@ def resize_2d(
         return x
 
     dtype = x.dtype
+    if mode == "bilinear" and not antialias:
+        # Non-antialiased bilinear has exactly two taps per output index: a
+        # gather + lerp computes the identical two-term expression as the
+        # dense (out, in) matmul but without the in_size-long dot of zeros
+        # (~40x less arithmetic; the lerp runs in fp32 regardless of input
+        # dtype, so this path is also never LESS exact than the matmul).
+        def axis_lerp(x, in_size, out_size, sf, axis):
+            i0, i1, lam = _bilinear_taps(in_size, out_size, sf)
+            a = jnp.take(x, jnp.asarray(i0), axis=axis)
+            bv = jnp.take(x, jnp.asarray(i1), axis=axis)
+            shape = [1] * x.ndim
+            shape[axis] = out_size
+            lam = jnp.asarray(lam, jnp.float32).reshape(shape)
+            return (a.astype(jnp.float32) * (1.0 - lam) + bv.astype(jnp.float32) * lam).astype(dtype)
+
+        if in_h != out_h or sf_h is not None:
+            x = axis_lerp(x, in_h, out_h, sf_h, h_axis)
+        if in_w != out_w or sf_w is not None:
+            x = axis_lerp(x, in_w, out_w, sf_w, w_axis)
+        return x
+
     if mode == "nearest":
         # Nearest is a gather — cheaper than a matmul and exact in any dtype.
         scale_h = _compute_scale(in_h, out_h, sf_h)
