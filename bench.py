@@ -172,6 +172,37 @@ def main():
                     BASELINE_MS / ms)
             del fn
 
+        # ---- panorama pipeline: 12-view icosahedral rig, batched infer,
+        #      gradient-domain merge (reference infer_panorama.py:29-158) ----
+        import time as _time
+
+        from moge_tpu.panorama import (get_panorama_cameras, merge_panorama_depth,
+                                       split_panorama_image)
+
+        pano = np.asarray(rng.uniform(0, 1, (1024, 2048, 3)), np.float32)
+        extrinsics, intrinsics = get_panorama_cameras()
+        views = split_panorama_image(pano, extrinsics, intrinsics, resolution=512)
+        views_j = jnp.asarray(np.stack(views), jnp.float32)
+        fov_x = 90.0  # the rig uses 90-deg square views (panorama.py:52-61)
+        out = vitl.infer(views_j, num_tokens=nt_518, fov_x=fov_x)  # compile
+        jax.block_until_ready(out["points"])
+        t0 = _time.perf_counter()
+        out = vitl.infer(views_j, num_tokens=nt_518, fov_x=fov_x)
+        dist = np.linalg.norm(np.asarray(out["points"], np.float32), axis=-1)
+        masks = np.asarray(out["mask"])
+        infer_s = _time.perf_counter() - t0
+        merge_s = {}
+        for solver in ("cg", "lsmr"):
+            t0 = _time.perf_counter()
+            depth, _ = merge_panorama_depth(
+                2048, 1024, list(dist), list(masks), extrinsics, intrinsics, solver=solver)
+            merge_s[solver] = _time.perf_counter() - t0
+            assert np.isfinite(depth[np.isfinite(depth)]).any()
+        add_row("panorama_12view_512_infer_batched", 1000.0 * infer_s, "ms")
+        add_row("panorama_merge_2048x1024_cg", 1000.0 * merge_s["cg"], "ms")
+        add_row("panorama_merge_2048x1024_lsmr", 1000.0 * merge_s["lsmr"], "ms")
+        add_row("panorama_12view_e2e_cg", 1000.0 * (infer_s + merge_s["cg"]), "ms")
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(rows, f, indent=1)
 

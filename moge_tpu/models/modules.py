@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.conv import conv3x3_replicate, conv3x3_up2_bilinear
+from ..ops.conv import (conv3x3_replicate, conv3x3_up2_bilinear, conv3x3_chain,
+                        chain_geometry, from_chain, use_chain_conv, _group_size)
 from ..ops.resize import resize_2d
 from ..ops.geometry import normalized_view_plane_uv
 from .dinov2 import VIT_ARCHS, DinoViT
@@ -90,8 +91,9 @@ class _Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None, input_relu=False, fold_w=None, fold_b=None, up2=False):
-        c = x.shape[-1]
+    def __call__(self, x, residual=None, input_relu=False, fold_w=None, fold_b=None, up2=False,
+                 chain_g=None, img_w=None, chain_in=False, chain_out=False):
+        c = x.shape[-1] // chain_g if (chain_g is not None and chain_in) else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
@@ -102,7 +104,13 @@ class _Conv3x3(nn.Module):
             bias = bias @ fold_w + (0.0 if fold_b is None else fold_b)
         if up2:
             assert residual is None and not input_relu
+            if chain_g is not None and chain_in:
+                return conv3x3_up2_bilinear(x.astype(self.dtype), kernel, bias,
+                                            chain_g=chain_g, img_w=img_w)
             return conv3x3_up2_bilinear(x.astype(self.dtype), kernel, bias)
+        if chain_g is not None and (chain_in or chain_out):
+            return conv3x3_chain(x.astype(self.dtype), kernel, bias, residual, input_relu,
+                                 g=chain_g, img_w=img_w, chain_in=chain_in, chain_out=chain_out)
         return conv3x3_replicate(x.astype(self.dtype), kernel, bias, residual, input_relu)
 
 
@@ -120,11 +128,13 @@ class Conv2d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None, input_relu=False, fold_w=None, fold_b=None, up2=False):
+    def __call__(self, x, residual=None, input_relu=False, fold_w=None, fold_b=None, up2=False,
+                 chain_g=None, img_w=None, chain_in=False, chain_out=False):
         k = self.kernel_size
         if k == 3:
             return _Conv3x3(self.features, dtype=self.dtype, name="conv")(
-                x, residual, input_relu, fold_w, fold_b, up2)
+                x, residual, input_relu, fold_w, fold_b, up2,
+                chain_g=chain_g, img_w=img_w, chain_in=chain_in, chain_out=chain_out)
         assert not up2, "fused upsample requires kernel_size == 3"
         if input_relu:
             x = jnp.maximum(x, 0)
@@ -153,10 +163,22 @@ class ResidualConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, chain_g=None, img_w=None, chain_out=True):
         out_ch = self.out_channels or self.in_channels
         hid_ch = self.hidden_channels or self.in_channels
         act = _activation(self.activation)
+
+        if chain_g is not None:
+            # Chained group-domain path (caller guarantees: relu, no norms,
+            # in == out channels, chain-compatible hidden width).
+            assert (self.activation == "relu" and self.in_norm == "none"
+                    and self.hidden_norm == "none" and out_ch == self.in_channels)
+            h = Conv2d(hid_ch, self.kernel_size, dtype=self.dtype, name="conv1")(
+                x, input_relu=True, chain_g=chain_g, img_w=img_w,
+                chain_in=True, chain_out=True)
+            return Conv2d(out_ch, self.kernel_size, dtype=self.dtype, name="conv2")(
+                h, residual=x, input_relu=True, chain_g=chain_g, img_w=img_w,
+                chain_in=True, chain_out=chain_out)
 
         skip = x
         if self.in_channels != out_ch:
@@ -224,7 +246,8 @@ class Resampler(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fold_w=None, fold_b=None):
+    def __call__(self, x, fold_w=None, fold_b=None, chain_g=None, img_w=None,
+                 chain_x=False, chain_out=False, post_residual=None):
         t, s = self.type_, self.scale_factor
         fold = dict(fold_w=fold_w, fold_b=fold_b)
         if t == "pixel_shuffle":
@@ -233,14 +256,17 @@ class Resampler(nn.Module):
             x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
         elif t == "bilinear" and s == 2:
             # Fused upsample+conv (exact; see ops/conv.py:up2_conv3_weights).
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, up2=True, **fold)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(
+                x, up2=True, chain_g=chain_g, img_w=img_w, chain_in=chain_x, **fold)
         elif t in ("nearest", "bilinear"):
             b, h, w, _ = x.shape
             x = resize_2d(x, (h * s, w * s), mode=t, channel_last=True)
             x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
         elif t == "conv_transpose":
             x = ConvTranspose2x(self.out_channels, s, dtype=self.dtype, name="deconv")(x)
-            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
+            x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(
+                x, residual=post_residual, chain_g=chain_g, img_w=img_w,
+                chain_in=False, chain_out=chain_out, **fold)
         elif t == "pixel_unshuffle":
             x = pixel_unshuffle(x, s)
             x = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv_post")(x, **fold)
@@ -339,8 +365,36 @@ class ConvStack(nn.Module):
             and resampler_types[n - 2] != "max_pool"
         )
 
+        # Chained group-domain decode (TPU inference fast path): consecutive
+        # convs of a level exchange pallas chain tensors so XLA inserts no
+        # pad/relayout passes between them (see ops/conv.py:conv3x3_chain).
+        chain_mode = (
+            not self.remat
+            and self.dtype == jnp.bfloat16
+            and self.activation == "relu"
+            and self.res_block_in_norm == "none"
+            and self.res_block_hidden_norm == "none"
+            and use_chain_conv()
+        )
+
+        def level_chain_g(i, h, w):
+            """g if level i's conv chain is pallas-supported at (h, w)."""
+            if not chain_mode or res_counts[i] < 1:
+                return None
+            dim = self.dim_res_blocks[i]
+            hid = self.dim_times_res_block_hidden * dim
+            g = chain_geometry(h, w, dim, max(dim, hid))
+            if g is None or _group_size(hid) != g:
+                return None
+            if hid != dim and chain_geometry(h, w, hid, dim) != g:
+                return None
+            return g
+
         out_features: List[Optional[jax.Array]] = []
-        x = None
+        x = None          # image-domain features at the current level
+        x_ch = None       # chain-domain features (set instead of x when chained)
+        ch_g = None
+        ch_hw = None      # (H, W) of the current level when x_ch is set
         wo = bo = None  # padded fold weights, set at i == n-2 when fusing
         for i, dim in enumerate(self.dim_res_blocks):
             feat = in_features[i] if i < len(in_features) else None
@@ -364,10 +418,11 @@ class ConvStack(nn.Module):
                 feat = in_proj(feat)
             if i == 0:
                 x = feat
-            elif feat is not None:
+            elif x_ch is None and feat is not None:
                 x = x + feat
+            # (in chain mode the feat add was fused into conv_post's residual)
             for j in range(res_counts[i]):
-                x = res_block_cls(
+                block = res_block_cls(
                     in_channels=dim,
                     hidden_channels=self.dim_times_res_block_hidden * dim,
                     activation=self.activation,
@@ -375,7 +430,22 @@ class ConvStack(nn.Module):
                     hidden_norm=self.res_block_hidden_norm,
                     dtype=self.dtype,
                     name=f"res_{i}_{j}",
-                )(x)
+                )
+                if x_ch is not None:
+                    # The last block exits to image unless the fused up2
+                    # resampler consumes the chain directly.
+                    last = j == res_counts[i] - 1
+                    keep_chain = not last or (
+                        fuse_last and i == n - 2 and resampler_types[i] == "bilinear")
+                    y = block(x_ch, chain_g=ch_g, img_w=ch_hw[1], chain_out=keep_chain)
+                    if keep_chain:
+                        x_ch = y
+                    else:
+                        x, x_ch = y, None
+                else:
+                    x = block(x)
+            if x_ch is not None:
+                x = from_chain(x_ch, ch_hw[1], dim)
             if dims_out[i] is not None:
                 out_features.append(
                     _Proj(dim, dims_out[i], dtype=self.dtype, name=f"output_{i}")(x))
@@ -389,6 +459,7 @@ class ConvStack(nn.Module):
                     dtype=self.dtype,
                     name=f"resampler_{i}",
                 )
+                hw = ch_hw if x_ch is not None else (x.shape[1], x.shape[2])
                 if fuse_last and i == n - 2:
                     nxt = self.dim_res_blocks[n - 1]
                     p_out = dims_out[n - 1]
@@ -396,9 +467,37 @@ class ConvStack(nn.Module):
                     out_proj = _Proj(nxt, p_out, dtype=self.dtype, name=f"output_{n - 1}")
                     wo = jnp.zeros((nxt, p_pad), jnp.float32).at[:, :p_out].set(out_proj.kernel)
                     bo = jnp.zeros((p_pad,), jnp.float32).at[:p_out].set(out_proj.bias)
-                    x = resampler(x, fold_w=wo, fold_b=bo)
+                    if x_ch is not None and resampler_types[i] == "bilinear":
+                        x = resampler(x_ch, fold_w=wo, fold_b=bo,
+                                      chain_g=ch_g, img_w=hw[1], chain_x=True)
+                    else:
+                        x = resampler(x, fold_w=wo, fold_b=bo)
+                    x_ch = None
                 else:
-                    x = resampler(x)
+                    h2, w2 = 2 * hw[0], 2 * hw[1]
+                    g2 = (level_chain_g(i + 1, h2, w2)
+                          if resampler_types[i] == "conv_transpose" else None)
+                    nxt_feat = in_features[i + 1] if i + 1 < len(in_features) else None
+                    if g2 is not None:
+                        # conv_post emits chain format; the level-(i+1) input
+                        # projection is folded in as the conv's residual.
+                        post_res = None
+                        if dims_in[i + 1] is not None and nxt_feat is not None:
+                            post_res = _Proj(dims_in[i + 1], self.dim_res_blocks[i + 1],
+                                             dtype=self.dtype, name=f"input_{i + 1}")(nxt_feat)
+                        elif nxt_feat is not None:
+                            post_res = nxt_feat
+                        x_ch = resampler(x, chain_g=g2, img_w=w2, chain_out=True,
+                                         post_residual=post_res)
+                        x = None
+                        ch_g, ch_hw = g2, (h2, w2)
+                        # mark the level-(i+1) feat as consumed
+                        in_features = list(in_features)
+                        if i + 1 < len(in_features):
+                            in_features[i + 1] = None
+                    else:
+                        x = resampler(x)
+                        x_ch = None
         return out_features
 
 

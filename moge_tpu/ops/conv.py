@@ -39,7 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_replicate", "conv3x3_up2_bilinear", "conv3x3_xla", "use_pallas_conv"]
+__all__ = ["conv3x3_replicate", "conv3x3_up2_bilinear", "conv3x3_xla", "use_pallas_conv",
+           "conv3x3_chain", "to_chain", "from_chain", "chain_geometry"]
 
 _SUBLANE = 16  # bf16 packed sublane tile
 _VMEM_BUDGET = 72 * 2 ** 20   # tile-picker working-set bound (see _pick_tile)
@@ -56,6 +57,15 @@ def use_pallas_conv() -> bool:
         return jax.default_backend() == "tpu"
     except RuntimeError:
         return False
+
+
+def use_chain_conv() -> bool:
+    """Chained (group-domain) decoder conv path enabled? MOGE_CHAIN_CONV=0/1
+    overrides; default: wherever the pallas conv runs."""
+    env = os.environ.get("MOGE_CHAIN_CONV")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return use_pallas_conv()
 
 
 def conv3x3_xla(
@@ -119,7 +129,8 @@ def _build_group_weights(kernel: jax.Array, g: int) -> jax.Array:
     return jnp.concatenate(blocks, axis=-1)  # (3, gC, 3gO)
 
 
-def _kernel(*refs, TH, Wout, Wq, Cq, Oq, NT, input_relu, has_residual):
+def _kernel(*refs, TH, Wout, Wq, Cq, Oq, NT, H, g, O, input_relu, has_residual,
+            chain_in, chain_out, res_chain):
     if has_residual:
         xq_ref, w_ref, b_ref, r_ref, y_ref, xt, sem = refs
     else:
@@ -128,21 +139,73 @@ def _kernel(*refs, TH, Wout, Wq, Cq, Oq, NT, input_relu, has_residual):
     bidx = pl.program_id(0)
     t = pl.program_id(1)
 
-    def get_dma(slot, tile):
-        return pltpu.make_async_copy(
-            xq_ref.at[bidx, pl.ds(tile * TH, TH + 3)], xt.at[slot], sem.at[slot])
+    if not chain_in:
+        # xq_ref rows are pre-padded on the host: (B, H + 3, Wq, Cq).
+        def start_dma(slot, tile):
+            pltpu.make_async_copy(
+                xq_ref.at[bidx, pl.ds(tile * TH, TH + 3)], xt.at[slot], sem.at[slot]).start()
+
+        def wait_dma(slot, tile):
+            pltpu.make_async_copy(
+                xq_ref.at[bidx, pl.ds(tile * TH, TH + 3)], xt.at[slot], sem.at[slot]).wait()
+    else:
+        # xq_ref rows are raw image rows: (B, H, Wq, Cq). Each tile needs rows
+        # [t*TH - 1, t*TH + TH + 2) with replicate clamping; the in-range span
+        # is DMA'd (shape static per first/middle/last case) and the clamped
+        # edge rows are duplicated in VMEM after the wait.
+        def _dma(slot, tile, op):
+            def go(src_lo, n, dst_lo):
+                c = pltpu.make_async_copy(
+                    xq_ref.at[bidx, pl.ds(src_lo, n)],
+                    xt.at[slot, pl.ds(dst_lo, n)], sem.at[slot])
+                c.start() if op == "start" else c.wait()
+            if NT == 1:
+                go(0, H, 1)
+            else:
+                @pl.when(tile == 0)
+                def _():
+                    go(0, TH + 2, 1)
+
+                @pl.when(jnp.logical_and(tile > 0, tile < NT - 1))
+                def _():
+                    go(tile * TH - 1, TH + 3, 0)
+
+                @pl.when(tile == NT - 1)
+                def _():
+                    go(tile * TH - 1, TH + 1, 0)
+
+        def start_dma(slot, tile):
+            _dma(slot, tile, "start")
+
+        def wait_dma(slot, tile):
+            _dma(slot, tile, "wait")
 
     @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        start_dma(0, 0)
 
     slot = jax.lax.rem(t, 2)
 
     @pl.when(t + 1 < NT)
     def _():
-        get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+        start_dma(jax.lax.rem(t + 1, 2), t + 1)
 
-    get_dma(slot, t).wait()
+    wait_dma(slot, t)
+
+    if chain_in:
+        # Replicate clamped edge rows (top pad for the first tile, two bottom
+        # pad rows for the last; a single tile holds H == TH rows at offset 1).
+        last_row = (H - 1) - (TH * (NT - 1) - 1) if NT > 1 else TH
+
+        @pl.when(t == 0)
+        def _():
+            xt[slot, 0] = xt[slot, 1]
+
+        @pl.when(t == NT - 1)
+        def _():
+            xt[slot, last_row + 1] = xt[slot, last_row]
+            xt[slot, last_row + 2] = xt[slot, last_row]
+
     M = TH * Wq
     a = xt[slot].reshape((TH + 3) * Wq, Cq)
     if input_relu:
@@ -155,8 +218,23 @@ def _kernel(*refs, TH, Wout, Wq, Cq, Oq, NT, input_relu, has_residual):
         acc = acc + p[0:M, 0:Oq] + p[1:M + 1, Oq:2 * Oq] + p[2:M + 2, 2 * Oq:3 * Oq]
     out = acc.reshape(TH, Wq, Oq)[:, :Wout]
     if r_ref is not None:
-        out = out + r_ref[0].astype(jnp.float32)
-    y_ref[0] = out.astype(y_ref.dtype)
+        r = r_ref[0, :, 1:Wout + 1] if res_chain else r_ref[0]
+        out = out + r.astype(jnp.float32)
+    out = out.astype(y_ref.dtype)
+    if not chain_out:
+        y_ref[0] = out
+    else:
+        # Emit the chain format directly: group 0 and the right pad groups are
+        # the replicated image edge columns the NEXT chained conv expects.
+        y_ref[0, :, 1:Wout + 1] = out
+        left = out[:, 0, :O]
+        right = out[:, Wout - 1, (g - 1) * O:]
+        if g > 1:
+            left = jnp.concatenate([left] * g, axis=-1)
+            right = jnp.concatenate([right] * g, axis=-1)
+        y_ref[0, :, 0] = left
+        y_ref[0, :, Wout + 1:] = jnp.broadcast_to(
+            right[:, None, :], (TH, Wq - Wout - 1, Oq))
 
 
 def _pick_tile(H: int, Wq: int, Cq: int, Oq: int) -> Optional[int]:
@@ -218,26 +296,45 @@ def _conv3x3_pallas(
     bias: jax.Array,
     residual: Optional[jax.Array] = None,
     input_relu: bool = False,
+    *,
+    chain_in: bool = False,
+    chain_out: bool = False,
+    img_w: Optional[int] = None,
 ) -> jax.Array:
     """``kernel``: (3,3,C,O) shared, or (G,3,3,C,O) with x batched as
     (G*B0, H, W, C) — batch b uses weight group b // B0 (stacked decoder
-    heads run as one grid). ``bias`` matches: (O,) or (G, O)."""
-    B, H, W, C = x.shape
+    heads run as one grid). ``bias`` matches: (O,) or (G, O).
+
+    ``chain_in``/``chain_out`` keep consecutive convs in the group domain
+    (see ``to_chain``): chain_in takes x as (B, H, Wq, gC) with column edge
+    groups but RAW rows (the kernel clamp-DMAs its row halo); chain_out emits
+    (B, H, Wq, gO) with edge groups filled, ready to be the next chain_in.
+    A chained residual is also in chain format. This removes the pad +
+    relayout XLA passes between decoder convs (measured ~0.3 ms per link at
+    the 3600-token decode sizes)."""
     O = kernel.shape[-1]
     if kernel.ndim == 4:
         kernel = kernel[None]
         bias = bias[None]
     G = kernel.shape[0]
-    B0 = B // G
-    g = _group_size(C)
-    Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
+    if chain_in:
+        B, H, Wq, Cq = x.shape
+        C = kernel.shape[-2]
+        g = Cq // C
+        W = img_w
+        xq = x
+    else:
+        B, H, W, C = x.shape
+        g = _group_size(C)
+        Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
+        # rows: +1 edge top, +1 edge bottom, +1 overhang row (du=2 of last
+        # tile); cols: 1 group left edge (g cols), right pad to g*Wq.
+        xq = jnp.pad(x, [(0, 0), (1, 2), (g, g * Wq - W - g), (0, 0)], mode="edge")
+        xq = xq.reshape(B, H + 3, Wq, g * C)
     Cq, Oq = g * C, g * O
+    B0 = B // G
     TH = _pick_tile(H, Wq, Cq, Oq)
     Wout = W // g
-    # rows: +1 edge top, +1 edge bottom, +1 overhang row (du=2 of last tile);
-    # cols: 1 group left edge (g cols), right pad to g*Wq.
-    xq = jnp.pad(x, [(0, 0), (1, 2), (g, g * Wq - W - g), (0, 0)], mode="edge")
-    xq = xq.reshape(B, H + 3, Wq, Cq)
     wq = jax.vmap(_build_group_weights, in_axes=(0, None))(kernel.astype(x.dtype), g)
     bq = jnp.tile(bias, (1, g)).astype(jnp.float32)
     NT = H // TH
@@ -247,23 +344,30 @@ def _conv3x3_pallas(
                 pl.BlockSpec((1, 1, Oq), lambda bi, ti: (bi // B0, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [xq, wq, bq.reshape(G, 1, Oq)]
+    res_chain = chain_in and residual is not None
     if residual is not None:
-        in_specs.append(pl.BlockSpec((1, TH, Wout, Oq), lambda bi, ti: (bi, ti, 0, 0),
+        rw = Wq if res_chain else Wout
+        in_specs.append(pl.BlockSpec((1, TH, rw, Oq), lambda bi, ti: (bi, ti, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(residual.reshape(B, H, Wout, Oq))
+        args.append(residual.reshape(B, H, rw, Oq))
+    out_w = Wq if chain_out else Wout
     y = pl.pallas_call(
         functools.partial(_kernel, TH=TH, Wout=Wout, Wq=Wq, Cq=Cq, Oq=Oq, NT=NT,
-                          input_relu=input_relu, has_residual=residual is not None),
-        out_shape=jax.ShapeDtypeStruct((B, H, Wout, Oq), x.dtype),
+                          H=H, g=g, O=O, input_relu=input_relu,
+                          has_residual=residual is not None,
+                          chain_in=chain_in, chain_out=chain_out, res_chain=res_chain),
+        out_shape=jax.ShapeDtypeStruct((B, H, out_w, Oq), x.dtype),
         grid=(B, NT),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, TH, Wout, Oq), lambda bi, ti: (bi, ti, 0, 0),
+        out_specs=pl.BlockSpec((1, TH, out_w, Oq), lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, TH + 3, Wq, Cq), x.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
     )(*args)
+    if chain_out:
+        return y
     return y.reshape(B, H, W, O)
 
 
@@ -359,22 +463,158 @@ def conv3x3_up2_bilinear(
     x: jax.Array,
     kernel: jax.Array,
     bias: jax.Array,
+    *,
+    chain_g: Optional[int] = None,
+    img_w: Optional[int] = None,
 ) -> jax.Array:
     """bilinear-2x upsample followed by a replicate-pad 3x3 conv, fused.
 
     Replaces resize(2x) + pad + conv (three full-resolution HBM passes plus
     the layout copies XLA inserts between them at the decoder's finest level)
     with ONE pallas conv at the LOW resolution over parity-expanded weights
-    (3,3,C,4O) and a depth-to-space. Reference semantics:
-    moge/model/modules.py:139-182 Resampler('bilinear') + its conv.
+    (3,3,C,4O) and a depth-to-space. With ``chain_g``, ``x`` is a chain
+    (group-domain) tensor of image width ``img_w`` (see ``to_chain``).
+    Reference semantics: moge/model/modules.py:139-182 Resampler('bilinear')
+    + its conv.
     """
-    B, H, W, C = x.shape
+    if chain_g is not None:
+        B, H = x.shape[0], x.shape[1]
+        W = img_w
+        C = x.shape[-1] // chain_g
+    else:
+        B, H, W, C = x.shape
     O = kernel.shape[-1]
     wq = up2_conv3_weights(kernel).reshape(3, 3, C, 4 * O)
     bq = jnp.tile(bias, 4)
-    y = conv3x3_replicate(x, wq, bq)                      # (B, H, W, 4O)
+    if chain_g is not None:
+        y = conv3x3_chain(x, wq, bq, g=chain_g, img_w=W, chain_out=False)
+    else:
+        y = conv3x3_replicate(x, wq, bq)                  # (B, H, W, 4O)
     y = y.reshape(B, H, W, 2, 2, O).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(B, 2 * H, 2 * W, O)
+
+
+def to_chain(x: jax.Array, g: int) -> jax.Array:
+    """(B, H, W, C) image -> (B, H, Wq, gC) chain/group-domain tensor.
+
+    Columns are edge-padded (one replicated group on the left, replicated
+    right padding up to the sublane-aligned group count Wq) and folded into
+    lanes; rows stay raw (the chained kernel clamp-DMAs its own row halo)."""
+    B, H, W, C = x.shape
+    Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
+    xq = jnp.pad(x, [(0, 0), (0, 0), (g, g * Wq - W - g), (0, 0)], mode="edge")
+    return xq.reshape(B, H, Wq, g * C)
+
+
+def from_chain(y: jax.Array, img_w: int, channels: int) -> jax.Array:
+    """(B, H, Wq, gO) chain tensor -> (B, H, W, O) image (drops edge groups)."""
+    B, H, Wq, Oq = y.shape
+    g = Oq // channels
+    return y.reshape(B, H, Wq * g, channels)[:, :, g:g + img_w]
+
+
+def chain_geometry(H: int, W: int, C: int, O: int) -> Optional[int]:
+    """Group size g if a chained pallas conv supports this geometry, else None."""
+    g = _group_size(C)
+    if g is None or W % g != 0 or H < 2 or W < 2 * g:
+        return None
+    Wq = -(-(W // g + 2) // _SUBLANE) * _SUBLANE
+    TH = _pick_tile(H, Wq, g * C, g * O)
+    if TH is None:
+        return None
+    if H // TH > 1 and TH < 2:  # first-tile halo DMA needs H >= TH + 2
+        return None
+    return g
+
+
+def _chain_ref(x, kernel, bias, residual, input_relu, g, img_w, chain_in,
+               chain_out, precise=True):
+    """Pure-XLA twin of the chained pallas conv (same semantics on arbitrary
+    chain tensors, including non-edge pad-group content). Serves as the
+    non-TPU fallback and the VJP formulation of :func:`conv3x3_chain`."""
+    O = kernel.shape[-1]
+    if chain_in:
+        B, H, Wq, Cq = x.shape
+        C = Cq // g
+        ximg = x.reshape(B, H, Wq * g, C)
+        if input_relu:
+            ximg = jnp.maximum(ximg, 0)
+        xpad = jnp.pad(ximg, [(0, 0), (1, 1), (0, 0), (0, 0)], mode="edge")
+        # VALID output col c covers padded cols c..c+2; image col j sits at
+        # padded col g + j, so image outputs are cols g-1 .. g-1+W.
+        c0 = g - 1
+    else:
+        B, H, W, C = x.shape
+        ximg = x
+        if input_relu:
+            ximg = jnp.maximum(ximg, 0)
+        xpad = jnp.pad(ximg, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+        c0 = 0
+    kw = dict(preferred_element_type=jnp.float32) if precise else {}
+    y = jax.lax.conv_general_dilated(
+        xpad, kernel.astype(ximg.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
+    y = y[:, :, c0:c0 + img_w].astype(jnp.float32) + bias
+    if residual is not None:
+        if chain_in:
+            Wq = x.shape[2]
+            rimg = residual.reshape(B, H, Wq * g, O)[:, :, g:g + img_w]
+        else:
+            rimg = residual
+        y = y + rimg.astype(jnp.float32)
+    y = y.astype(x.dtype)
+    if chain_out:
+        y = to_chain(y, g)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _chain_core(x, kernel, bias, residual, input_relu, g, img_w, chain_in, chain_out):
+    if use_pallas_conv() and x.dtype == jnp.bfloat16:
+        return _conv3x3_pallas(x, kernel.astype(x.dtype), bias, residual, input_relu,
+                               chain_in=chain_in, chain_out=chain_out, img_w=img_w)
+    return _chain_ref(x, kernel, bias, residual, input_relu, g, img_w,
+                      chain_in, chain_out)
+
+
+def _chain_fwd(x, kernel, bias, residual, input_relu, g, img_w, chain_in, chain_out):
+    return (_chain_core(x, kernel, bias, residual, input_relu, g, img_w,
+                        chain_in, chain_out),
+            (x, kernel, bias, residual))
+
+
+def _chain_bwd(input_relu, g, img_w, chain_in, chain_out, res, ct):
+    x, kernel, bias, residual = res
+    _, vjp = jax.vjp(
+        lambda xx, kk, bb, rr: _chain_ref(
+            xx, kk, bb, rr, input_relu, g, img_w, chain_in, chain_out, precise=False),
+        x, kernel, bias, residual)
+    return vjp(ct)
+
+
+_chain_core.defvjp(_chain_fwd, _chain_bwd)
+
+
+def conv3x3_chain(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    residual: Optional[jax.Array] = None,
+    input_relu: bool = False,
+    *,
+    g: int,
+    img_w: int,
+    chain_in: bool = True,
+    chain_out: bool = True,
+) -> jax.Array:
+    """Chained 3x3 replicate-pad conv in the group domain (``to_chain``
+    format). Semantically equal to [from_chain ->] conv3x3_replicate ->
+    [to_chain], but consecutive chained convs exchange tensors without any
+    XLA pad/relayout passes between the pallas kernels. The ``residual``
+    must be in the same domain as ``x`` (chain when chain_in, image
+    otherwise)."""
+    return _chain_core(x, kernel, bias, residual, input_relu, g, img_w,
+                       chain_in, chain_out)
 
 
 def conv3x3_replicate(

@@ -186,3 +186,134 @@ def test_custom_vjp_matches_xla_grads():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
     for a, bgrad in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Chained (group-domain) conv path: consecutive decoder convs exchange pallas
+# chain tensors with no XLA pad/relayout passes between them.
+# ---------------------------------------------------------------------------
+
+def _chain_seq_ref(x, ks, bs):
+    """conv -> relu+conv -> relu+conv(+skip from stage-1 out), image domain."""
+    y0 = conv3x3_xla(x, ks[0], bs[0])
+    y1 = conv3x3_xla(y0, ks[1], bs[1], None, input_relu=True)
+    return conv3x3_xla(y1, ks[2], bs[2], y0, input_relu=True), y0
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 64, 64), (12, 12, 32, 32), (6, 8, 128, 128)])
+def test_chain_kernel_interpret_matches_sequence(shape):
+    from moge_tpu.ops.conv import chain_geometry
+    H, W, C, O = shape
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    ks = [jnp.asarray(rng.randn(3, 3, C, O) * 0.1, jnp.float32) for _ in range(3)]
+    bs = [jnp.asarray(rng.randn(O) * 0.1, jnp.float32) for _ in range(3)]
+    want, _ = _chain_seq_ref(x, ks, bs)
+    want = np.asarray(want, np.float32)
+    g = chain_geometry(H, W, C, O)
+    assert g is not None
+    old = conv_mod._INTERPRET
+    conv_mod._INTERPRET = True
+    try:
+        y0 = conv_mod._conv3x3_pallas(x, ks[0].astype(x.dtype), bs[0],
+                                      chain_in=False, chain_out=True)
+        y1 = conv_mod._conv3x3_pallas(y0, ks[1].astype(x.dtype), bs[1], None, True,
+                                      chain_in=True, chain_out=True, img_w=W)
+        y2 = conv_mod._conv3x3_pallas(y1, ks[2].astype(x.dtype), bs[2], y0, True,
+                                      chain_in=True, chain_out=False, img_w=W)
+    finally:
+        conv_mod._INTERPRET = old
+    got = np.asarray(y2, np.float32)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_chain_kernel_interpret_multitile():
+    """Multi-row-tile chain: exercises the clamped halo DMA branches."""
+    H, W, C = 24, 16, 64
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    ks = [jnp.asarray(rng.randn(3, 3, C, C) * 0.1, jnp.float32) for _ in range(3)]
+    bs = [jnp.asarray(rng.randn(C) * 0.1, jnp.float32) for _ in range(3)]
+    want, _ = _chain_seq_ref(x, ks, bs)
+    want = np.asarray(want, np.float32)
+    old_b, old_i = conv_mod._VMEM_BUDGET, conv_mod._INTERPRET
+    conv_mod._VMEM_BUDGET = 400_000  # force TH < H
+    conv_mod._INTERPRET = True
+    try:
+        g = 128 // C
+        Wq = -(-(W // g + 2) // 16) * 16
+        assert H // conv_mod._pick_tile(H, Wq, g * C, g * C) > 1
+        y0 = conv_mod._conv3x3_pallas(x, ks[0].astype(x.dtype), bs[0],
+                                      chain_in=False, chain_out=True)
+        y1 = conv_mod._conv3x3_pallas(y0, ks[1].astype(x.dtype), bs[1], None, True,
+                                      chain_in=True, chain_out=True, img_w=W)
+        y2 = conv_mod._conv3x3_pallas(y1, ks[2].astype(x.dtype), bs[2], y0, True,
+                                      chain_in=True, chain_out=False, img_w=W)
+    finally:
+        conv_mod._VMEM_BUDGET, conv_mod._INTERPRET = old_b, old_i
+    got = np.asarray(y2, np.float32)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_chain_ref_matches_sequence_and_grads():
+    """The XLA chain twin (non-TPU fallback + VJP formulation) reproduces the
+    image-domain sequence, and gradients flow through conv3x3_chain."""
+    from moge_tpu.ops.conv import to_chain, _chain_ref, conv3x3_chain
+    H, W, C = 10, 8, 64
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, H, W, C), jnp.bfloat16)
+    ks = [jnp.asarray(rng.randn(3, 3, C, C) * 0.1, jnp.float32) for _ in range(3)]
+    bs = [jnp.asarray(rng.randn(C) * 0.1, jnp.float32) for _ in range(3)]
+    want, _ = _chain_seq_ref(x, ks, bs)
+    want = np.asarray(want, np.float32)
+    g = 2
+    r0 = _chain_ref(to_chain(x, g), ks[0], bs[0], None, False, g, W, True, True)
+    r1 = _chain_ref(r0, ks[1], bs[1], None, True, g, W, True, True)
+    r2 = _chain_ref(r1, ks[2], bs[2], r0, True, g, W, True, False)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(r2, np.float32) / scale, want / scale, atol=2e-2)
+
+    def loss(k):
+        y0 = conv3x3_chain(to_chain(x, g), k, bs[0], g=g, img_w=W, chain_in=True,
+                           chain_out=True)
+        y1 = conv3x3_chain(y0, ks[1], bs[1], y0, True, g=g, img_w=W, chain_out=False)
+        return jnp.sum(y1.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss)(ks[0])
+    assert np.isfinite(np.asarray(gk)).all() and float(jnp.abs(gk).max()) > 0
+
+
+def test_convstack_chain_matches_plain(monkeypatch):
+    """ConvStack chain wiring (forced on via MOGE_CHAIN_CONV) reproduces the
+    plain image-domain path for a MoGe-2-head-shaped pyramid, and both modes
+    build the identical parameter tree."""
+    from moge_tpu.models.modules import ConvStack
+    monkeypatch.setenv("MOGE_PALLAS_CONV", "0")
+    cfg = dict(
+        dim_in=[64, 32, 16, 8, 8],
+        dim_res_blocks=[64, 64, 64, 32, 32],
+        dim_out=[None, None, None, None, 3],
+        resamplers=["conv_transpose", "conv_transpose", "conv_transpose", "bilinear"],
+        num_res_blocks=[0, 1, 1, 1, 0],
+        res_block_in_norm="none",
+        res_block_hidden_norm="none",
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(1, 8 * 2 ** i, 8 * 2 ** i, cfg["dim_in"][i]) * 0.5,
+                         jnp.bfloat16) for i in range(5)]
+    stack = ConvStack(**cfg)
+    monkeypatch.setenv("MOGE_CHAIN_CONV", "0")
+    params = stack.init(jax.random.PRNGKey(0), feats)
+    out_plain = stack.apply(params, feats)
+    monkeypatch.setenv("MOGE_CHAIN_CONV", "1")
+    params_chain = stack.init(jax.random.PRNGKey(0), feats)
+    out_chain = stack.apply(params, feats)
+    assert jax.tree.structure(params) == jax.tree.structure(params_chain)
+    for a, b in zip(out_plain, out_chain):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert a.shape == b.shape
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
