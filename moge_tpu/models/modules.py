@@ -463,7 +463,16 @@ class ConvStack(nn.Module):
                 if fuse_last and i == n - 2:
                     nxt = self.dim_res_blocks[n - 1]
                     p_out = dims_out[n - 1]
-                    p_pad = max(p_out, 32)
+                    if resampler_types[n - 2] == "bilinear":
+                        # Fused up2 emits 4*p_pad phase-packed channels per
+                        # lane group of g columns; the smallest p_pad filling
+                        # full 128 lanes halves the kernel + depth-to-space
+                        # cost vs a blanket pad of 32 (exact: zero weights).
+                        gq = _group_size(self.dim_res_blocks[n - 2]) or 1
+                        quantum = max(128 // (4 * gq), 8)
+                        p_pad = max(-(-p_out // quantum) * quantum, quantum)
+                    else:
+                        p_pad = max(p_out, 32)
                     out_proj = _Proj(nxt, p_out, dtype=self.dtype, name=f"output_{n - 1}")
                     wo = jnp.zeros((nxt, p_pad), jnp.float32).at[:, :p_out].set(out_proj.kernel)
                     bo = jnp.zeros((p_pad,), jnp.float32).at[:p_out].set(out_proj.bias)
