@@ -1,6 +1,16 @@
 """moge_tpu command-line interface (reference moge/scripts/cli.py:11-23)."""
 
+import os
+
 import click
+
+# Backend override for every subcommand: MOGE_PLATFORM=cpu|tpu. Needed because
+# on some hosted TPU setups the JAX_PLATFORMS environment variable is fixed by
+# the session and cannot be overridden per-process; jax.config can.
+if os.environ.get("MOGE_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MOGE_PLATFORM"])
 
 from .app import main as app_main
 from .infer import main as infer_main

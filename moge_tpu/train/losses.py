@@ -105,22 +105,24 @@ def compute_anchor_sampling_weight(
     return weight
 
 
-def affine_invariant_local_loss(
+def local_loss_prepare(
     key: jax.Array,
     pred_points: jax.Array,
     gt_points: jax.Array,
     focal: jax.Array,
-    global_scale: Optional[jax.Array],
     level: int,
     align_resolution: int = 32,
     num_patches: int = 16,
-    beta: float = 0.0,
-    trunc: float = 1.0,
-    sparsity_aware: bool = False,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Reference losses.py:112-206 with fixed-size masked patches.
+):
+    """Patch sampling + extraction + low-res solver inputs for the local loss.
 
-    ``key``: PRNG key (replaces torch.multinomial). Returns (loss (B,), misc).
+    Returns ``(solver_inputs, ctx)`` where ``solver_inputs`` is the
+    fixed-shape triple ``(src (P, R*R, 3), tgt (P, R*R, 3), w (P, R*R))``
+    fed to :func:`align_points_scale_xyz_shift`, and ``ctx`` carries the
+    full-resolution patches for :func:`local_loss_finish`. Splitting here
+    lets several local-loss entries (different ``level``) share ONE batched
+    solver call: after the ``align_resolution`` resize the solver inputs are
+    shape-uniform across levels, so their rows can be concatenated.
     """
     height, width = pred_points.shape[-3], pred_points.shape[-2]
     batch_size = pred_points.shape[0]
@@ -176,9 +178,44 @@ def affine_invariant_local_loss(
     )
     p_cnt = pred_lr.shape[0]
     w_lr = lr_mask.reshape(p_cnt, -1) / (gt_patch_radius_3d[:, None] + 1e-7)
-    local_scale, local_shift = align_points_scale_xyz_shift(
-        pred_lr.reshape(p_cnt, -1, 3), gt_lr.reshape(p_cnt, -1, 3), w_lr, trunc=trunc
+
+    gt_mean = harmonic_mean(gt_points[..., 2], gt_mask, axis=(-2, -1))                  # (B,)
+    ctx = dict(
+        pred_patch_points=pred_patch_points,
+        gt_patch_points=gt_patch_points,
+        patch_mask=patch_mask,
+        patch_nonempty=patch_nonempty,
+        gt_patch_radius_3d=gt_patch_radius_3d,
+        patch_batch_idx=patch_batch_idx,
+        lr_mask=lr_mask,
+        gt_mean=gt_mean,
+        batch_size=batch_size,
+        num_patches=num_patches,
     )
+    return (pred_lr.reshape(p_cnt, -1, 3), gt_lr.reshape(p_cnt, -1, 3), w_lr), ctx
+
+
+def local_loss_finish(
+    ctx: Dict,
+    local_scale: jax.Array,
+    local_shift: jax.Array,
+    global_scale: Optional[jax.Array],
+    beta: float = 0.0,
+    sparsity_aware: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Patch validation + alignment application + loss reduction (the part of
+    the local loss after the scale/shift solve)."""
+    pred_patch_points = ctx["pred_patch_points"]
+    gt_patch_points = ctx["gt_patch_points"]
+    patch_mask = ctx["patch_mask"]
+    patch_nonempty = ctx["patch_nonempty"]
+    gt_patch_radius_3d = ctx["gt_patch_radius_3d"]
+    patch_batch_idx = ctx["patch_batch_idx"]
+    lr_mask = ctx["lr_mask"]
+    gt_mean = ctx["gt_mean"]
+    batch_size = ctx["batch_size"]
+    num_patches = ctx["num_patches"]
+
     if global_scale is not None:
         scale_differ = local_scale / jnp.maximum(global_scale[patch_batch_idx], 1e-12)
         patch_valid = (scale_differ > 0.1) & (scale_differ < 10.0) & (global_scale[patch_batch_idx] > 0)
@@ -191,7 +228,6 @@ def affine_invariant_local_loss(
 
     pred_aligned = local_scale[:, None, None, None] * pred_patch_points + local_shift[:, None, None, :]
 
-    gt_mean = harmonic_mean(gt_points[..., 2], gt_mask, axis=(-2, -1))                  # (B,)
     patch_weight = patch_mask.astype(jnp.float32) / jnp.maximum(
         gt_patch_points[..., 2], 0.1 * gt_mean[patch_batch_idx, None, None]
     )
@@ -215,6 +251,37 @@ def affine_invariant_local_loss(
         "delta": weighted_mean((err < 1).astype(jnp.float32), patch_mask),
     }
     return loss, misc
+
+
+def affine_invariant_local_loss(
+    key: jax.Array,
+    pred_points: jax.Array,
+    gt_points: jax.Array,
+    focal: jax.Array,
+    global_scale: Optional[jax.Array],
+    level: int,
+    align_resolution: int = 32,
+    num_patches: int = 16,
+    beta: float = 0.0,
+    trunc: float = 1.0,
+    sparsity_aware: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Reference losses.py:112-206 with fixed-size masked patches.
+
+    ``key``: PRNG key (replaces torch.multinomial). Returns (loss (B,), misc).
+    Composed as prepare -> scale/shift solve -> finish; multi-entry callers
+    (train/step.py compute_losses) batch several levels' solves into one call
+    via :func:`local_loss_prepare` / :func:`local_loss_finish`.
+    """
+    (src, tgt, w_lr), ctx = local_loss_prepare(
+        key, pred_points, gt_points, focal, level,
+        align_resolution=align_resolution, num_patches=num_patches,
+    )
+    local_scale, local_shift = align_points_scale_xyz_shift(src, tgt, w_lr, trunc=trunc)
+    return local_loss_finish(
+        ctx, local_scale, local_shift, global_scale,
+        beta=beta, sparsity_aware=sparsity_aware,
+    )
 
 
 def normal_loss(points: jax.Array, gt_points: jax.Array) -> Tuple[jax.Array, Dict]:

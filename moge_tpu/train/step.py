@@ -11,12 +11,14 @@ all-reduce, reference model/utils.py:41-49).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
+from ..ops.alignment import align_points_scale_xyz_shift
 from ..ops.geometry import depth_map_to_point_map
 from . import losses as L
 
@@ -124,6 +126,62 @@ def compute_losses(
             for k, v in misc.items():
                 metrics[f"{name}.{k}"] = v
 
+    # Batched local-loss solves: with >=2 local entries, run every entry's
+    # patch prepare, CONCATENATE the (shape-uniform after the align-resolution
+    # resize) solver inputs, and make ONE align_points_scale_xyz_shift call —
+    # exact same per-patch math (the solver is row-independent), but the
+    # compiled program contains a single solver scan instead of one per entry.
+    # This is what lets the fused gradient program run on the TPU runtime,
+    # which faults on programs differentiating two parallel solver scans
+    # (see make_split_grad_step / docs/split_loss_tpu_fault.md).
+    local_results: Dict[str, Tuple] = {}
+    local_names = [n for n, s in entries.items() if s["function"] == "affine_invariant_local_loss"]
+    batch_solves = os.environ.get("MOGE_BATCH_LOCAL_SOLVES", "1") != "0"
+    if batch_solves and len(local_names) >= 2:
+        # replicate the sequential per-entry rng chain exactly
+        subkeys = {}
+        for name in local_names:
+            rng, sub = jax.random.split(rng)
+            subkeys[name] = sub
+        p0 = entries[local_names[0]].get("params", {})
+        shared_solver = all(
+            entries[n].get("params", {}).get("trunc", 1.0) == p0.get("trunc", 1.0)
+            and entries[n].get("params", {}).get("align_resolution", 32) == p0.get("align_resolution", 32)
+            for n in local_names
+        )
+        if shared_solver:
+            preps = []
+            for name in local_names:
+                pk = entries[name].get("params", {})
+                inputs, ctx = L.local_loss_prepare(
+                    subkeys[name], pred_points, gt_points, gt_focal, pk["level"],
+                    align_resolution=pk.get("align_resolution", 32),
+                    num_patches=pk.get("num_patches", 16),
+                )
+                preps.append((name, pk, inputs, ctx))
+            src = jnp.concatenate([p[2][0] for p in preps])
+            tgt = jnp.concatenate([p[2][1] for p in preps])
+            w_lr = jnp.concatenate([p[2][2] for p in preps])
+            scale_all, shift_all = align_points_scale_xyz_shift(
+                src, tgt, w_lr, trunc=p0.get("trunc", 1.0)
+            )
+            off = 0
+            for name, pk, inputs, ctx in preps:
+                n_rows = inputs[0].shape[0]
+                local_results[name] = L.local_loss_finish(
+                    ctx, scale_all[off:off + n_rows], shift_all[off:off + n_rows],
+                    gt_metric_scale,
+                    beta=pk.get("beta", 0.0),
+                    sparsity_aware=pk.get("sparsity_aware", False),
+                )
+                off += n_rows
+        else:
+            for name in local_names:
+                pk = entries[name].get("params", {})
+                local_results[name] = L.affine_invariant_local_loss(
+                    subkeys[name], pred_points, gt_points, gt_focal, gt_metric_scale, **pk
+                )
+
     for name, spec in entries.items():
         fn = spec["function"]
         params_kw = spec.get("params", {})
@@ -131,10 +189,13 @@ def compute_losses(
         if fn == "affine_invariant_global_loss":
             continue
         if fn == "affine_invariant_local_loss":
-            rng, sub = jax.random.split(rng)
-            loss_b, misc = L.affine_invariant_local_loss(
-                sub, pred_points, gt_points, gt_focal, gt_metric_scale, **params_kw
-            )
+            if name in local_results:
+                loss_b, misc = local_results[name]
+            else:
+                rng, sub = jax.random.split(rng)
+                loss_b, misc = L.affine_invariant_local_loss(
+                    sub, pred_points, gt_points, gt_focal, gt_metric_scale, **params_kw
+                )
         elif fn == "normal_loss":
             loss_b, misc = L.normal_loss(pred_points, gt_points)
         elif fn == "edge_loss":

@@ -270,3 +270,67 @@ def test_global_loss_gradient():
     )(jnp.asarray(pred))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_batched_local_solves_bitwise_identical():
+    """compute_losses with MOGE_BATCH_LOCAL_SOLVES=1 (one concatenated
+    align_points_scale_xyz_shift call for all local-loss entries) must be
+    BITWISE identical to the sequential per-entry path: the solver is
+    row-independent and the PRNG chain is replicated, so any difference is a
+    bug. The batched form is what makes the fused gradient program run on the
+    TPU runtime (docs/split_loss_tpu_fault.md)."""
+    import os
+
+    from moge_tpu.train.step import compute_losses
+
+    loss_config = {
+        "synthetic": {
+            "global": {"function": "affine_invariant_global_loss", "weight": 1.0,
+                       "params": {"align_resolution": 24}},
+            "local_4": {"function": "affine_invariant_local_loss", "weight": 1.0,
+                        "params": {"level": 4, "align_resolution": 16}},
+            "local_16": {"function": "affine_invariant_local_loss", "weight": 1.0,
+                         "params": {"level": 16, "align_resolution": 16}},
+            "local_64": {"function": "affine_invariant_local_loss", "weight": 0.5,
+                         "params": {"level": 64, "align_resolution": 16}},
+            "normal": {"function": "normal_loss", "weight": 1.0},
+        },
+    }
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 48, 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    z = 2.0 + yy / h + 0.3 * np.sin(xx / 7.0)
+    depth = jnp.asarray(np.broadcast_to(z, (b, h, w)).copy())
+    intr = jnp.asarray(np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32), (b, 3, 3)).copy())
+    batch = {
+        "image": jnp.zeros((b, h, w, 3)),
+        "depth": depth,
+        "depth_mask_fin": jnp.asarray(rng.uniform(size=(b, h, w)) > 0.1),
+        "depth_mask_inf": jnp.zeros((b, h, w), bool),
+        "intrinsics": intr,
+        "label_type_idx": jnp.zeros((b,), jnp.int32),
+        "is_metric": jnp.zeros((b,), bool),
+    }
+    gt_pts = depth_map_to_point_map(depth, intr)
+    output = {
+        "points": gt_pts + 0.01 * jnp.asarray(rng.standard_normal((b, h, w, 3)), jnp.float32),
+        "mask": jnp.zeros((b, h, w)),
+    }
+    key = jax.random.PRNGKey(7)
+
+    prev = os.environ.get("MOGE_BATCH_LOCAL_SOLVES")
+    try:
+        os.environ["MOGE_BATCH_LOCAL_SOLVES"] = "1"
+        t1, m1 = compute_losses(key, output, batch, loss_config, ["synthetic"])
+        os.environ["MOGE_BATCH_LOCAL_SOLVES"] = "0"
+        t0, m0 = compute_losses(key, output, batch, loss_config, ["synthetic"])
+    finally:
+        if prev is None:
+            os.environ.pop("MOGE_BATCH_LOCAL_SOLVES", None)
+        else:
+            os.environ["MOGE_BATCH_LOCAL_SOLVES"] = prev
+
+    assert float(t1) == float(t0)
+    for k in m0:
+        assert float(m0[k]) == float(m1[k]), k
