@@ -77,7 +77,8 @@ def write_depth(path: PathOrIO, depth: np.ndarray, max_range: float = 1e5, compr
     pnginfo = PngImagePlugin.PngInfo()
     pnginfo.add_text("near", str(near))
     pnginfo.add_text("far", str(far))
-    pil_image.save(path, pnginfo=pnginfo, compress_level=compression_level)
+    # explicit format: ``path`` may be a file object with no extension
+    pil_image.save(path, format="PNG", pnginfo=pnginfo, compress_level=compression_level)
 
 
 def read_segmentation(path: PathOrIO) -> Tuple[np.ndarray, Optional[Dict[str, int]]]:
@@ -92,7 +93,8 @@ def write_segmentation(path: PathOrIO, mask: np.ndarray, labels: Optional[Dict[s
     pnginfo = PngImagePlugin.PngInfo()
     if labels is not None:
         pnginfo.add_text("labels", json.dumps(labels, ensure_ascii=True, separators=(",", ":")))
-    pil_image.save(path, pnginfo=pnginfo, compress_level=compression_level)
+    # explicit format: ``path`` may be a file object with no extension
+    pil_image.save(path, format="PNG", pnginfo=pnginfo, compress_level=compression_level)
 
 
 def read_normal(path: PathOrIO) -> np.ndarray:
