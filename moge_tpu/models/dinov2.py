@@ -77,6 +77,11 @@ class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     use_flash: bool = False  # pallas flash kernel (inference; fwd-only for now)
+    # Sequence parallelism (inside shard_map): x holds this shard's tokens;
+    # K/V are all-gathered to the full sequence, of which only the first
+    # ``sp_kv_valid`` positions are real (the rest is shard padding).
+    sp_axis: Optional[str] = None
+    sp_kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -85,8 +90,14 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(batch, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        kv_valid = None
+        if self.sp_axis is not None:
+            k = jax.lax.all_gather(k, self.sp_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.sp_axis, axis=1, tiled=True)
+            kv_valid = self.sp_kv_valid
         # flag on -> auto (flash on TPU, XLA on CPU); flag off -> always XLA
-        out = scaled_dot_product_attention(q, k, v, use_flash=None if self.use_flash else False)
+        out = scaled_dot_product_attention(
+            q, k, v, use_flash=None if self.use_flash else False, kv_valid=kv_valid)
         out = out.reshape(batch, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
@@ -132,11 +143,14 @@ class Block(nn.Module):
     ffn: str = "mlp"
     dtype: Any = jnp.float32
     use_flash: bool = False
+    sp_axis: Optional[str] = None
+    sp_kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         h = LayerNorm(name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash, name="attn")(h)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
+                      sp_axis=self.sp_axis, sp_kv_valid=self.sp_kv_valid, name="attn")(h)
         if self.use_layer_scale:
             gamma1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
             h = h * gamma1.astype(h.dtype)
@@ -170,6 +184,8 @@ class _BlockScanBody(nn.Module):
     dtype: Any
     use_flash: bool
     remat: bool
+    sp_axis: Optional[str] = None
+    sp_kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -184,6 +200,8 @@ class _BlockScanBody(nn.Module):
             ffn=self.ffn,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            sp_axis=self.sp_axis,
+            sp_kv_valid=self.sp_kv_valid,
             name="block",
         )(x)
         buf = jnp.where(is_take, buf.at[slot].set(x), buf)
@@ -207,6 +225,14 @@ class DinoViT(nn.Module):
     # compiles, measured ~13% slower at runtime) — used for training; the
     # unrolled layout is the inference default.
     scan_blocks: bool = False
+    # Sequence parallelism: when sp_axis is set (and the module is applied
+    # inside shard_map over a mesh with that axis of size sp_size), the token
+    # axis is split into contiguous per-device chunks after the (cheap,
+    # replicated) patch embed; every per-token op runs on the local chunk and
+    # attention all-gathers K/V over ICI. Params stay fully replicated — no
+    # checkpoint-layout change. See parallel/sp.py.
+    sp_axis: Optional[str] = None
+    sp_size: int = 1
 
     def interpolate_pos_encoding(self, pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
         """Bicubic pos-embed interpolation with the historical 0.1 offset kludge
@@ -276,6 +302,17 @@ class DinoViT(nn.Module):
             # rounded up to a multiple of 8.
             mlp_hidden = (int(dim * cfg.mlp_ratio * 2 / 3) + 7) // 8 * 8
 
+        n_total = x.shape[1]
+        sp_kv_valid = None
+        if self.sp_axis is not None:
+            # contiguous chunk of the (padded) token axis per device; padding
+            # sits at the global tail and is masked in attention via kv_valid
+            chunk = -(-n_total // self.sp_size)
+            x = jnp.pad(x, ((0, 0), (0, chunk * self.sp_size - n_total), (0, 0)))
+            idx = jax.lax.axis_index(self.sp_axis)
+            x = jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk, axis=1)
+            sp_kv_valid = n_total
+
         take = sorted(set(int(i) for i in take_layers))
         block_kwargs = dict(
             dim=dim,
@@ -285,6 +322,8 @@ class DinoViT(nn.Module):
             ffn=cfg.ffn,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            sp_axis=self.sp_axis,
+            sp_kv_valid=sp_kv_valid,
         )
 
         if self.scan_blocks:
@@ -317,7 +356,9 @@ class DinoViT(nn.Module):
         norm = LayerNorm(name="norm")
         results = []
         for out in outputs:
-            out = norm(out)
+            out = norm(out)  # per-token: valid on local chunks too
+            if self.sp_axis is not None:
+                out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)[:, :n_total]
             cls = out[:, 0]
             patches = out[:, 1 + cfg.num_register_tokens :]
             results.append((patches, cls))

@@ -177,24 +177,25 @@ def _flash_core(qp, kp, vp, bias, q_block: int, k_block: int):
 
 
 def _flash_core_fwd_impl(qp, kp, vp, bias, q_block, k_block):
-    bh, n_pad, d = qp.shape
-    grid = (bh, n_pad // q_block)
+    bh, nq_pad, d = qp.shape
+    nkv_pad = kp.shape[1]
+    grid = (bh, nq_pad // q_block)
     out, lse = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, k_block=k_block),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0)),
+            pl.BlockSpec((None, nkv_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nkv_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nkv_pad), lambda i, j: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq_pad, d), qp.dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(qp, kp, vp, bias)
@@ -208,46 +209,47 @@ def _flash_core_fwd(qp, kp, vp, bias, q_block, k_block):
 
 def _flash_core_bwd(q_block, k_block, residuals, do):
     qp, kp, vp, bias, out, lse = residuals
-    bh, n_pad, d = qp.shape
+    bh, nq_pad, d = qp.shape
+    nkv_pad = kp.shape[1]
     # delta_i = sum_d dO_i O_i (rowwise), fp32
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, k_block=k_block),
-        grid=(bh, n_pad // q_block),
+        grid=(bh, nq_pad // q_block),
         in_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nkv_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nkv_pad, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, q_block, 1), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, nkv_pad), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), qp.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(qp, kp, vp, do, lse, delta, bias)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, q_block=q_block),
-        grid=(bh, n_pad // k_block),
+        grid=(bh, nkv_pad // k_block),
         in_specs=[
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nq_pad, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, n_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n_pad, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n_pad, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0)),
+            pl.BlockSpec((None, nq_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nq_pad, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nq_pad, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nkv_pad), lambda i, j: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, k_block, d), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), kp.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, d), vp.dtype),
+            jax.ShapeDtypeStruct((bh, nkv_pad, d), kp.dtype),
+            jax.ShapeDtypeStruct((bh, nkv_pad, d), vp.dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(qp, kp, vp, do, lse, delta, bias)
@@ -257,16 +259,22 @@ def _flash_core_bwd(q_block, k_block, residuals, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "k_block"))
+@functools.partial(jax.jit, static_argnames=("q_block", "k_block", "kv_valid"))
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     q_block: Optional[int] = None, k_block: Optional[int] = None,
+    kv_valid: Optional[int] = None,
 ) -> jax.Array:
     """Multi-head attention, (B, N, H, D) layout, scale = D**-0.5.
 
     Pallas TPU flash kernel with a flash backward (custom VJP): neither pass
     materializes the (N, N) probability matrix in HBM. Numerics match SDPA
     (fp32 softmax) to bf16 precision. N is padded internally.
+
+    K/V may have a DIFFERENT length than q (cross-length attention — used by
+    the sequence-parallel encoder, where q holds this shard's tokens and K/V
+    are the all-gathered full sequence). ``kv_valid`` marks how many leading
+    K/V positions are real; the rest (e.g. the gather padding) are masked.
 
     Block sizes default from MOGE_FLASH_BLOCKS="q,k" (k=0 -> whole padded
     sequence per step, i.e. single-pass softmax with no online rescale).
@@ -280,53 +288,66 @@ def flash_attention(
         q_block = q_block if q_block is not None else eq
         k_block = k_block if k_block is not None else ek
     b, n, h, d = q.shape
+    n_kv = k.shape[1]
+    if kv_valid is None:
+        kv_valid = n_kv
     if q_block <= 0:
         q_block = 256 if n <= 2048 else 128
     if k_block <= 0:
-        k_block = _round_up(n, max(q_block, 128))
+        k_block = _round_up(n_kv, max(q_block, 128))
         # Whole-sequence K blocks hold (q_block, n_pad) fp32 logits + probs in
         # VMEM; beyond ~4k keys that outgrows the 64 MB budget and Mosaic
         # compilation fails. Past the validated MoGe regime (N<=3601), fall
         # back to streaming K blocks with the online-softmax rescale.
         if k_block > 4096:
             k_block = 512
-    n_pad = _round_up(n, max(q_block, k_block))
+    nq_pad = _round_up(n, q_block)
+    nkv_pad = _round_up(n_kv, k_block)
 
-    def pad(x):
-        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+    def pad(x, to):
+        return jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0), (0, 0)))
 
     # Scale q ONCE over (N, d) instead of scaling the (N, N) logits inside
     # the kernel. For d a power of four the scale is a power of two and this
     # is bit-exact; otherwise it only reorders a bf16 rounding.
     scale = d ** -0.5
     # (B, N, H, D) -> (B*H, N_pad, D)
-    qp = pad(q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
-    kp = pad(k).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
-    vp = pad(v).transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
-    bias = jnp.where(jnp.arange(n_pad) < n, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
+    qp = pad(q * jnp.asarray(scale, q.dtype), nq_pad).transpose(0, 2, 1, 3).reshape(b * h, nq_pad, d)
+    kp = pad(k, nkv_pad).transpose(0, 2, 1, 3).reshape(b * h, nkv_pad, d)
+    vp = pad(v, nkv_pad).transpose(0, 2, 1, 3).reshape(b * h, nkv_pad, d)
+    bias = jnp.where(jnp.arange(nkv_pad) < kv_valid, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
 
     out = _flash_core(qp, kp, vp, bias, q_block, k_block)
-    out = out.reshape(b, h, n_pad, d).transpose(0, 2, 1, 3)
+    out = out.reshape(b, h, nq_pad, d).transpose(0, 2, 1, 3)
     return out[:, :n]
 
 
-def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """XLA fallback: fp32-softmax SDPA, (B, N, H, D) layout."""
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+             kv_valid: Optional[int] = None) -> jax.Array:
+    """XLA fallback: fp32-softmax SDPA, (B, N, H, D) layout. K/V may be
+    longer/shorter than q; ``kv_valid`` masks trailing K/V padding."""
     d = q.shape[-1]
     scale = d ** -0.5
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    logits = logits.astype(jnp.float32) * scale
+    if kv_valid is not None and kv_valid < k.shape[1]:
+        mask = jnp.arange(k.shape[1]) < kv_valid
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
 
 
-def scaled_dot_product_attention(q, k, v, use_flash: Optional[bool] = None) -> jax.Array:
+def scaled_dot_product_attention(q, k, v, use_flash: Optional[bool] = None,
+                                 kv_valid: Optional[int] = None) -> jax.Array:
     """SDPA with automatic backend choice: pallas flash kernel on TPU,
-    XLA everywhere else (pallas TPU kernels don't run on CPU)."""
+    XLA everywhere else (pallas TPU kernels don't run on CPU). Supports
+    cross-length K/V with ``kv_valid`` trailing-padding masking (the
+    sequence-parallel encoder path)."""
     if use_flash is None:
         use_flash = jax.default_backend() not in ("cpu",)
     if use_flash:
         try:
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, kv_valid=kv_valid)
         except Exception:  # pragma: no cover - fallback on unsupported targets
-            return sdpa_xla(q, k, v)
-    return sdpa_xla(q, k, v)
+            return sdpa_xla(q, k, v, kv_valid=kv_valid)
+    return sdpa_xla(q, k, v, kv_valid=kv_valid)

@@ -199,10 +199,16 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
         for name, s in spec.items()
         if s.get("function") == "affine_invariant_local_loss"
     })
+    # Auto: the fused program is safe whenever the local losses consolidate
+    # into one batched alignment solve (docs/split_loss_tpu_fault.md); only
+    # configs whose local entries CANNOT share a solve still need the split.
+    from ..train.step import local_solves_batchable
+
     use_split = split_loss_programs == "on" or (
         split_loss_programs == "auto"
         and jax.default_backend() == "tpu"
         and n_local_losses > 1
+        and not local_solves_batchable(config["loss"], label_types)
     )
     if use_split and is_main_process:
         print("loss-program splitting: on (see --split_loss_programs)")

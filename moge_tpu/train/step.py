@@ -71,6 +71,27 @@ def _loss_weights_per_instance(loss_config: Dict[str, Dict], label_types: Sequen
     return entries, weights
 
 
+def local_solves_batchable(loss_config: Dict[str, Dict], label_types: Sequence[str]) -> bool:
+    """True when compute_losses will consolidate ALL local-loss entries into
+    one batched alignment solve (same trunc/align_resolution across entries and
+    MOGE_BATCH_LOCAL_SOLVES not disabled) — i.e. the fused gradient program
+    contains at most one solver scan and is safe on the TPU runtime
+    (docs/split_loss_tpu_fault.md)."""
+    if os.environ.get("MOGE_BATCH_LOCAL_SOLVES", "1") == "0":
+        return False
+    entries, _ = _loss_weights_per_instance(loss_config, label_types)
+    local = [s.get("params", {}) for s in entries.values()
+             if s.get("function") == "affine_invariant_local_loss"]
+    if len(local) <= 1:
+        return True
+    p0 = local[0]
+    return all(
+        p.get("trunc", 1.0) == p0.get("trunc", 1.0)
+        and p.get("align_resolution", 32) == p0.get("align_resolution", 32)
+        for p in local
+    )
+
+
 def compute_losses(
     rng: jax.Array,
     output: Dict[str, jax.Array],

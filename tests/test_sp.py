@@ -1,0 +1,70 @@
+"""Sequence-parallel encoder: sharded-token-axis outputs must match the
+single-program encoder on an 8-virtual-device CPU mesh, including the
+cross-length kv_valid masking of the shard padding (N chosen NOT divisible by
+sp so the padding path is exercised)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from moge_tpu.models.dinov2 import DinoViT, ViTConfig
+from moge_tpu.parallel.sp import sequence_parallel_encode
+
+TINY = ViTConfig(
+    embed_dim=32, depth=4, num_heads=2, mlp_ratio=4.0,
+    patch_size=14, pos_grid=37, num_register_tokens=0,
+)
+
+
+def _setup(h0=9, w0=13):
+    # 9*13 = 117 patch tokens + 1 cls = 118 tokens: not divisible by sp=4
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((2, h0 * 14, w0 * 14, 3)), jnp.float32)
+    vit = DinoViT(TINY, dtype=jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), image, (0, 3))["params"]
+    return vit, params, image
+
+
+def test_sp_encode_matches_single_device():
+    vit, params, image = _setup()
+    ref = vit.apply({"params": params}, image, (1, 3))
+
+    devices = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devices, ("sp",))
+    out = sequence_parallel_encode(TINY, params, image, (1, 3), mesh, sp_axis="sp")
+
+    assert len(out) == len(ref) == 2
+    for (p_sp, c_sp), (p_ref, c_ref) in zip(out, ref):
+        assert p_sp.shape == p_ref.shape
+        np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_ref), atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(c_sp), np.asarray(c_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_sp_encode_scan_layout():
+    vit, params, image = _setup()
+    ref = vit.apply({"params": params}, image, (0, 2))
+
+    # scan layout stores depth-stacked params under a different tree; convert
+    # by re-initializing a scan module and copying is covered elsewhere — here
+    # just check the sp+scan program runs and is self-consistent vs sp+unrolled
+    devices = np.array(jax.devices()[:2]).reshape(2)
+    mesh = Mesh(devices, ("sp",))
+    out = sequence_parallel_encode(TINY, params, image, (0, 2), mesh, sp_axis="sp")
+    for (p_sp, c_sp), (p_ref, c_ref) in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_cross_length_sdpa_masks_padding():
+    """sdpa_xla with kv_valid must equal attention over the truncated K/V."""
+    from moge_tpu.ops.attention import sdpa_xla
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 5, 2, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 12, 2, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 12, 2, 8)), jnp.float32)
+    out_masked = sdpa_xla(q, k, v, kv_valid=9)
+    out_trunc = sdpa_xla(q, k[:, :9], v[:, :9])
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc), atol=1e-6)
