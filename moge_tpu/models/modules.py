@@ -522,6 +522,8 @@ class DINOv2Encoder(nn.Module):
     remat: bool = False
     use_flash: bool = False
     scan_blocks: bool = False
+    sp_axis: Optional[str] = None  # sequence-parallel token axis (parallel/sp.py)
+    sp_size: int = 1
 
     @property
     def take_layers(self) -> Tuple[int, ...]:
@@ -554,7 +556,8 @@ class DINOv2Encoder(nn.Module):
 
         features = DinoViT(
             config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
-            scan_blocks=self.scan_blocks, name="backbone"
+            scan_blocks=self.scan_blocks, sp_axis=self.sp_axis, sp_size=self.sp_size,
+            name="backbone"
         )(image_14, self.take_layers)
 
         b = image.shape[0]

@@ -68,11 +68,14 @@ class MoGeV2(nn.Module):
     remat: bool = False
     use_flash: bool = False  # pallas flash attention (inference fwd path)
     scan_blocks: bool = False  # lax.scan blocks (fast compiles; training)
+    sp_axis: Optional[str] = None  # sequence-parallel encoder (parallel/sp.py)
+    sp_size: int = 1
 
     def setup(self):
         self.encoder_module = DINOv2Encoder(
             **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
-            scan_blocks=self.scan_blocks, name="encoder"
+            scan_blocks=self.scan_blocks, sp_axis=self.sp_axis, sp_size=self.sp_size,
+            name="encoder"
         )
         self.neck_module = ConvStack(**self.neck, dtype=self.dtype, remat=self.remat, name="neck")
         for head_name in ("points_head", "normal_head", "mask_head"):
@@ -240,7 +243,7 @@ class MoGeModel:
     version = "v2"
 
     def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True,
-                 scan_blocks: bool = False):
+                 scan_blocks: bool = False, sp_mesh: Optional[Any] = None):
         config = dict(config)
         config.pop("model_version", None)
         # Drop deprecated/unknown kwargs like the reference does (v2.py:42-43).
@@ -253,6 +256,11 @@ class MoGeModel:
         self.dtype = dtype
         self.use_flash = use_flash
         self.scan_blocks = scan_blocks
+        # Sequence-parallel inference: a jax Mesh with an 'sp' axis. The
+        # decode program is shard_map'ed over it — the encoder's token axis
+        # is split across devices (attention all-gathers K/V), the decoder
+        # runs replicated. Params stay replicated; see parallel/sp.py.
+        self.sp_mesh = sp_mesh
         if params is not None:
             from .convert import adapt_block_layout
 
@@ -266,8 +274,11 @@ class MoGeModel:
     def _module_for(self, dtype) -> MoGeV2:
         key = jnp.dtype(dtype).name
         if key not in self._modules:
+            sp_kwargs = {}
+            if self.sp_mesh is not None:
+                sp_kwargs = dict(sp_axis="sp", sp_size=self.sp_mesh.shape["sp"])
             self._modules[key] = MoGeV2(**self.config, dtype=dtype, use_flash=self.use_flash,
-                                        scan_blocks=self.scan_blocks)
+                                        scan_blocks=self.scan_blocks, **sp_kwargs)
         return self._modules[key]
 
     @classmethod
@@ -301,12 +312,16 @@ class MoGeModel:
         key = ("decode", base_h, base_w, jnp.dtype(dtype).name)
         if key not in self._jit_cache:
             module = self._module_for(dtype)
-            self._jit_cache[key] = jax.jit(
-                lambda params, image_14, aspect: module.apply(
-                    {"params": params}, image_14, base_h, base_w, aspect, True,
-                    method=MoGeV2.decode,
-                )
+            fn = lambda params, image_14, aspect: module.apply(
+                {"params": params}, image_14, base_h, base_w, aspect, True,
+                method=MoGeV2.decode,
             )
+            if self.sp_mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.shard_map(fn, mesh=self.sp_mesh, in_specs=(P(), P(), P()),
+                                   out_specs=P(), check_vma=False)
+            self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def _resize_in_fn(self, base_h: int, base_w: int):

@@ -68,3 +68,31 @@ def test_cross_length_sdpa_masks_padding():
     out_masked = sdpa_xla(q, k, v, kv_valid=9)
     out_trunc = sdpa_xla(q, k[:, :9], v[:, :9])
     np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sp_model_infer_matches():
+    """Full MoGeModel.infer with sp_mesh: the shard_map'ed decode (token-
+    sharded encoder, replicated decoder) must match single-program infer."""
+    from test_eval_e2e import TINY_V2_CONFIG
+
+    from moge_tpu.models.v2 import MoGeModel
+
+    model = MoGeModel(TINY_V2_CONFIG, None, dtype=jnp.float32)
+    model.init_random(seed=0, image_hw=(56, 56))
+
+    devices = np.array(jax.devices()[:4]).reshape(4)
+    sp_model = MoGeModel(TINY_V2_CONFIG, model.params, dtype=jnp.float32,
+                         sp_mesh=Mesh(devices, ("sp",)))
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (56, 70, 3)), jnp.float32)
+    ref = model.infer(image, num_tokens=120, use_fp16=False)
+    out = sp_model.infer(image, num_tokens=120, use_fp16=False)
+    assert set(out) == set(ref)
+    # shard_map changes XLA fusion -> fp32 reassociation; the iterative focal
+    # solve amplifies it a little. Same tolerance class as the model goldens.
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k], np.float32), np.asarray(ref[k], np.float32),
+            atol=1e-3, rtol=1e-2, err_msg=k)
