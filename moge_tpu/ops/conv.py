@@ -386,9 +386,17 @@ def _bwd_formulation(x, kernel, bias, residual, input_relu):
     """Transposable twin of conv3x3_xla: the conv runs in the activation
     dtype WITHOUT preferred_element_type (a conv with fp32 preferred output
     on bf16 operands has no transpose rule for mixed-dtype cotangents);
-    elementwise math stays fp32. Gradients match to activation precision."""
+    elementwise math stays fp32. Gradients match to activation precision.
+
+    MOGE_CONV_BWD_FP32=1 lifts the conv to fp32 (uniform dtypes, so the
+    transpose rule applies and the gradient convolutions accumulate in fp32;
+    the convert_element_type transposes cast cotangents back) — use if bf16
+    gradient accumulation ever shows up as a training-quality issue."""
+    out_dtype = x.dtype
     if input_relu:
         x = jnp.maximum(x, 0)
+    if os.environ.get("MOGE_CONV_BWD_FP32", "0") != "0":
+        x = x.astype(jnp.float32)
     xpad = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
     y = jax.lax.conv_general_dilated(
         xpad, kernel.astype(x.dtype), (1, 1), "VALID",
@@ -396,7 +404,7 @@ def _bwd_formulation(x, kernel, bias, residual, input_relu):
     y = y.astype(jnp.float32) + bias
     if residual is not None:
         y = y + residual.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
 
 
 def _bwd(input_relu, res, g):

@@ -317,3 +317,41 @@ def test_convstack_chain_matches_plain(monkeypatch):
         assert a.shape == b.shape
         scale = np.abs(a).max() + 1e-6
         np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
+
+
+def test_conv_bwd_fp32_option():
+    """MOGE_CONV_BWD_FP32=1 must track the pure-fp32 gradient much more
+    closely than the default bf16-accumulating backward."""
+    import os
+
+    rng = np.random.default_rng(5)
+    x32 = jnp.asarray(rng.standard_normal((1, 16, 16, 64)), jnp.float32)
+    x = x32.astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.1, jnp.float32)
+    b = jnp.zeros((64,), jnp.float32)
+
+    def loss(xx, kk):
+        return jnp.sum(conv3x3_replicate(xx, kk, b).astype(jnp.float32) ** 2)
+
+    # fp32 reference gradient (fp32 activations end-to-end)
+    g_ref = jax.grad(loss, argnums=1)(x32, k)
+
+    prev = os.environ.pop("MOGE_CONV_BWD_FP32", None)
+    try:
+        g_bf16 = jax.grad(loss, argnums=1)(x, k)
+        os.environ["MOGE_CONV_BWD_FP32"] = "1"
+        jax.clear_caches()  # the env branch is baked into the traced program
+        g_fp32 = jax.grad(loss, argnums=1)(x, k)
+    finally:
+        jax.clear_caches()
+        if prev is None:
+            os.environ.pop("MOGE_CONV_BWD_FP32", None)
+        else:
+            os.environ["MOGE_CONV_BWD_FP32"] = prev
+
+    err_bf16 = float(jnp.linalg.norm(g_bf16 - g_ref) / jnp.linalg.norm(g_ref))
+    err_fp32 = float(jnp.linalg.norm(g_fp32 - g_ref) / jnp.linalg.norm(g_ref))
+    # the x-cast to bf16 already loses ~1e-3; the fp32 backward must not add
+    # accumulation error on top (strictly better than the bf16 backward)
+    assert err_fp32 <= err_bf16
+    assert np.isfinite(err_fp32)
