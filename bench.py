@@ -185,6 +185,18 @@ def main():
                     BASELINE_MS / ms)
             del fn
 
+        # ---- W8A8 int8 serving mode (NOT the parity path: ~1e-2 output
+        #      drift vs bf16; ops/quant.py). Separate, clearly-labeled rows.
+        vitl8 = MoGeModelV2(preset["config"], vitl.params, dtype=jnp.bfloat16, use_int8=True)
+        for nt, side in [(nt_518, 518), (3600, round((3600 ** 0.5) * 14))]:
+            fn = _checksum_v2(vitl8, nt, 1.0)
+            ms = _bench_fn(fn, (vitl8.params, image_batch(1, side, side)), n=16)
+            label = "518px" if side == 518 else f"{nt}tok"
+            add_row(f"moge2_vitl_infer_latency_{label}_int8_p50", ms, "ms/image",
+                    BASELINE_MS / ms)
+            del fn
+        del vitl8
+
         # ---- panorama pipeline: 12-view icosahedral rig, batched infer,
         #      gradient-domain merge (reference infer_panorama.py:29-158) ----
         import time as _time

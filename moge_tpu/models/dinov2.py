@@ -31,7 +31,15 @@ import numpy as np
 
 from ..ops.attention import scaled_dot_product_attention
 from ..ops.norm import layer_norm_fp32  # pallas single-pass kernel on TPU
+from ..ops.quant import QuantDense
 from ..ops.resize import resize_2d
+
+
+def _dense(features: int, dtype, use_int8: bool, name: str):
+    """nn.Dense or its W8A8 int8 twin (same param tree; ops/quant.py)."""
+    if use_int8:
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,12 +90,13 @@ class Attention(nn.Module):
     # ``sp_kv_valid`` positions are real (the rest is shard padding).
     sp_axis: Optional[str] = None
     sp_kv_valid: Optional[int] = None
+    use_int8: bool = False  # W8A8 MXU matmuls for qkv/proj (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
         batch, n, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = _dense(self.dim * 3, self.dtype, self.use_int8, "qkv")(x)
         qkv = qkv.reshape(batch, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         kv_valid = None
@@ -99,17 +108,18 @@ class Attention(nn.Module):
         out = scaled_dot_product_attention(
             q, k, v, use_flash=None if self.use_flash else False, kv_valid=kv_valid)
         out = out.reshape(batch, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+        return _dense(self.dim, self.dtype, self.use_int8, "proj")(out)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.float32
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        x = _dense(self.hidden, self.dtype, self.use_int8, "fc1")(x)
         # torch nn.GELU default = exact erf; the fp32 path matches it exactly.
         # In reduced-precision (bf16) compute the tanh approximation is used:
         # its error (<~1e-3 absolute) sits at the bf16 rounding floor of the
@@ -117,7 +127,7 @@ class Mlp(nn.Module):
         # N=3601 (~3.8 ms per ViT-L pass; measured in-jit, see BENCHMARKS.md).
         exact = jnp.dtype(self.dtype) != jnp.bfloat16
         x = nn.gelu(x, approximate=not exact)
-        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        x = _dense(self.dim, self.dtype, self.use_int8, "fc2")(x)
         return x
 
 
@@ -127,12 +137,13 @@ class SwiGLU(nn.Module):
     dim: int
     hidden: int  # already the fused 2/3-adjusted hidden size
     dtype: Any = jnp.float32
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="w12")(x)
+        x12 = _dense(2 * self.hidden, self.dtype, self.use_int8, "w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="w3")(nn.silu(x1) * x2)
+        return _dense(self.dim, self.dtype, self.use_int8, "w3")(nn.silu(x1) * x2)
 
 
 class Block(nn.Module):
@@ -145,12 +156,14 @@ class Block(nn.Module):
     use_flash: bool = False
     sp_axis: Optional[str] = None
     sp_kv_valid: Optional[int] = None
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = LayerNorm(name="norm1")(x)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype, use_flash=self.use_flash,
-                      sp_axis=self.sp_axis, sp_kv_valid=self.sp_kv_valid, name="attn")(h)
+                      sp_axis=self.sp_axis, sp_kv_valid=self.sp_kv_valid,
+                      use_int8=self.use_int8, name="attn")(h)
         if self.use_layer_scale:
             gamma1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
             h = h * gamma1.astype(h.dtype)
@@ -158,9 +171,9 @@ class Block(nn.Module):
 
         h = LayerNorm(name="norm2")(x)
         if self.ffn == "swiglu":
-            h = SwiGLU(self.dim, self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+            h = SwiGLU(self.dim, self.mlp_hidden, dtype=self.dtype, use_int8=self.use_int8, name="mlp")(h)
         else:
-            h = Mlp(self.dim, self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+            h = Mlp(self.dim, self.mlp_hidden, dtype=self.dtype, use_int8=self.use_int8, name="mlp")(h)
         if self.use_layer_scale:
             gamma2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
             h = h * gamma2.astype(h.dtype)
@@ -186,6 +199,7 @@ class _BlockScanBody(nn.Module):
     remat: bool
     sp_axis: Optional[str] = None
     sp_kv_valid: Optional[int] = None
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -202,6 +216,7 @@ class _BlockScanBody(nn.Module):
             use_flash=self.use_flash,
             sp_axis=self.sp_axis,
             sp_kv_valid=self.sp_kv_valid,
+            use_int8=self.use_int8,
             name="block",
         )(x)
         buf = jnp.where(is_take, buf.at[slot].set(x), buf)
@@ -233,6 +248,9 @@ class DinoViT(nn.Module):
     # checkpoint-layout change. See parallel/sp.py.
     sp_axis: Optional[str] = None
     sp_size: int = 1
+    # W8A8 int8 MXU matmuls for the block projections (opt-in serving mode;
+    # ops/quant.py — same param tree, different compute path)
+    use_int8: bool = False
 
     def interpolate_pos_encoding(self, pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
         """Bicubic pos-embed interpolation with the historical 0.1 offset kludge
@@ -324,6 +342,7 @@ class DinoViT(nn.Module):
             use_flash=self.use_flash,
             sp_axis=self.sp_axis,
             sp_kv_valid=sp_kv_valid,
+            use_int8=self.use_int8,
         )
 
         if self.scan_blocks:

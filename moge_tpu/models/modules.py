@@ -524,6 +524,7 @@ class DINOv2Encoder(nn.Module):
     scan_blocks: bool = False
     sp_axis: Optional[str] = None  # sequence-parallel token axis (parallel/sp.py)
     sp_size: int = 1
+    use_int8: bool = False  # W8A8 int8 block matmuls (opt-in serving mode)
 
     @property
     def take_layers(self) -> Tuple[int, ...]:
@@ -557,7 +558,7 @@ class DINOv2Encoder(nn.Module):
         features = DinoViT(
             config=cfg, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
             scan_blocks=self.scan_blocks, sp_axis=self.sp_axis, sp_size=self.sp_size,
-            name="backbone"
+            use_int8=self.use_int8, name="backbone"
         )(image_14, self.take_layers)
 
         b = image.shape[0]

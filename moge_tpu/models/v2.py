@@ -70,12 +70,13 @@ class MoGeV2(nn.Module):
     scan_blocks: bool = False  # lax.scan blocks (fast compiles; training)
     sp_axis: Optional[str] = None  # sequence-parallel encoder (parallel/sp.py)
     sp_size: int = 1
+    use_int8: bool = False  # W8A8 int8 encoder matmuls (opt-in serving mode)
 
     def setup(self):
         self.encoder_module = DINOv2Encoder(
             **self.encoder, dtype=self.dtype, remat=self.remat, use_flash=self.use_flash,
             scan_blocks=self.scan_blocks, sp_axis=self.sp_axis, sp_size=self.sp_size,
-            name="encoder"
+            use_int8=self.use_int8, name="encoder"
         )
         self.neck_module = ConvStack(**self.neck, dtype=self.dtype, remat=self.remat, name="neck")
         for head_name in ("points_head", "normal_head", "mask_head"):
@@ -243,7 +244,8 @@ class MoGeModel:
     version = "v2"
 
     def __init__(self, config: Dict[str, Any], params: Any, dtype: Any = jnp.bfloat16, use_flash: bool = True,
-                 scan_blocks: bool = False, sp_mesh: Optional[Any] = None):
+                 scan_blocks: bool = False, sp_mesh: Optional[Any] = None,
+                 use_int8: bool = False):
         config = dict(config)
         config.pop("model_version", None)
         # Drop deprecated/unknown kwargs like the reference does (v2.py:42-43).
@@ -261,6 +263,9 @@ class MoGeModel:
         # is split across devices (attention all-gathers K/V), the decoder
         # runs replicated. Params stay replicated; see parallel/sp.py.
         self.sp_mesh = sp_mesh
+        # W8A8 int8 encoder matmuls — a serving-mode compute path (~1e-2
+        # output drift vs bf16; see ops/quant.py). Not the parity path.
+        self.use_int8 = use_int8
         if params is not None:
             from .convert import adapt_block_layout
 
@@ -278,7 +283,8 @@ class MoGeModel:
             if self.sp_mesh is not None:
                 sp_kwargs = dict(sp_axis="sp", sp_size=self.sp_mesh.shape["sp"])
             self._modules[key] = MoGeV2(**self.config, dtype=dtype, use_flash=self.use_flash,
-                                        scan_blocks=self.scan_blocks, **sp_kwargs)
+                                        scan_blocks=self.scan_blocks, use_int8=self.use_int8,
+                                        **sp_kwargs)
         return self._modules[key]
 
     @classmethod

@@ -309,10 +309,13 @@ def create_server(model, host: str, port: int, height: int, width: int,
               help="Micro-batching window after the first queued request.")
 @click.option("--fp16/--no_fp16", "use_fp16", default=True,
               help="bf16 compute (the TPU equivalent of fp16).")
+@click.option("--int8", "use_int8", is_flag=True,
+              help="W8A8 int8 encoder matmuls (2x MXU rate; ~1e-2 output "
+                   "drift vs bf16 — serving mode, see ops/quant.py).")
 @click.option("--warmup/--no_warmup", default=True,
               help="Pre-compile the batch-1 program before accepting traffic.")
 def main(pretrained_path, model_version, host, port, resolution, num_tokens,
-         max_batch, max_wait_ms, use_fp16, warmup):
+         max_batch, max_wait_ms, use_fp16, use_int8, warmup):
     import jax.numpy as jnp
 
     from ..models import import_model_class_by_version
@@ -320,9 +323,15 @@ def main(pretrained_path, model_version, host, port, resolution, num_tokens,
     if pretrained_path is None:
         defaults = {"v1": "Ruicheng/moge-vitl", "v2": "Ruicheng/moge-2-vitl-normal"}
         pretrained_path = defaults[model_version]
+    if use_int8 and model_version != "v2":
+        raise click.UsageError("--int8 is only supported for v2 models")
     model = import_model_class_by_version(model_version).from_pretrained(
         pretrained_path, dtype=jnp.bfloat16 if use_fp16 else jnp.float32
     )
+    if use_int8:
+        from ..models.v2 import MoGeModel as _V2
+
+        model = _V2(model.config, model.params, dtype=model.dtype, use_int8=True)
     server, batcher = create_server(
         model, host, port, resolution, resolution, num_tokens,
         max_batch=max_batch, max_wait_ms=max_wait_ms, use_fp16=use_fp16,
