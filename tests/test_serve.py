@@ -129,3 +129,36 @@ def test_infer_bad_requests(server_url):
         with urllib.request.urlopen(f"{server_url}/nope") as r:
             pass
     assert e.value.code == 404
+
+
+def test_serve_with_sp_model():
+    """Composition: the micro-batcher in front of a sequence-parallel model
+    (sp mesh over 4 virtual devices) serves requests correctly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from moge_tpu.models.v2 import MoGeModel
+    from moge_tpu.scripts.serve import create_server
+
+    model = MoGeModel(TINY_V2_CONFIG, None, dtype=jnp.float32)
+    model.init_random(seed=0, image_hw=(56, 56))
+    devices = np.array(jax.devices()[:4]).reshape(4)
+    sp_model = MoGeModel(TINY_V2_CONFIG, model.params, dtype=jnp.float32,
+                         sp_mesh=Mesh(devices, ("sp",)))
+    server, batcher = create_server(
+        sp_model, "127.0.0.1", 0, height=56, width=56, num_tokens=100,
+        max_batch=2, max_wait_ms=10.0, use_fp16=False,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        rng = np.random.default_rng(7)
+        status, _, body = _post(f"{url}/v1/infer?maps=depth,intrinsics", _jpeg_bytes(rng))
+        assert status == 200
+        obj = json.loads(body)
+        assert "depth_png16_log" in obj and "intrinsics" in obj
+    finally:
+        server.shutdown()
+        batcher.stop()
