@@ -12,6 +12,26 @@ if os.environ.get("MOGE_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["MOGE_PLATFORM"])
 
+# Persistent XLA compilation cache for every subcommand. First compile of the
+# ViT-L graph costs 20-40s on TPU; the cache removes it across process
+# restarts (serving redeploys, repeated CLI invocations). Opt out with
+# MOGE_COMPILE_CACHE=0, or point it at a different directory.
+_cache = os.environ.get("MOGE_COMPILE_CACHE", "")
+if _cache != "0":
+    import jax
+
+    if not _cache:
+        _cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "moge_tpu",
+            "jax",
+        )
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    # Cache every program regardless of compile time or call count.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from .app import main as app_main
 from .infer import main as infer_main
 from .infer_baseline import main as infer_baseline_main
