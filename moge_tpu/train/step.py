@@ -12,6 +12,7 @@ all-reduce, reference model/utils.py:41-49).
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -284,6 +285,7 @@ def make_split_grad_step(
     loss_config: Dict[str, Dict],
     label_types: Sequence[str],
     num_tokens: int,
+    reuse_residuals: Optional[bool] = None,
 ) -> Callable:
     """Gradient step compiled as SEVERAL XLA programs instead of one.
 
@@ -294,15 +296,24 @@ def make_split_grad_step(
     a numerics bug; remat and optimization barriers do not avoid it). This
     path sidesteps it by splitting compilation along loss boundaries:
 
-      P1  jit: model forward -> outputs
+      P1  jit: model forward -> outputs (+ the VJP residuals, see below)
       P2g jit: all non-patch losses (+ the global alignment scale), grads
           w.r.t. the model outputs
       P2i jit (one per patch-local loss entry): that loss's output-grads
       P3  jit: model VJP with the summed output cotangent
 
     Exact same math as the fused step (the local-loss PRNG chain replicates
-    the fused order), at the cost of one extra model forward inside P3.
+    the fused order). By default P1 runs the forward under ``jax.vjp`` and
+    returns the VJP function itself — a ``jax.tree_util.Partial`` pytree
+    whose leaves are the linearization residuals — so P3 replays the stored
+    backward instead of re-running the forward: the split costs dispatch
+    overhead only, not an extra model forward. Residuals live in device
+    memory between P1 and P3 exactly as they would inside the fused program.
+    ``MOGE_SPLIT_REUSE_RESIDUALS=0`` (or ``reuse_residuals=False``) restores
+    the recompute-forward P3 (lower peak memory between programs).
     """
+    if reuse_residuals is None:
+        reuse_residuals = os.environ.get("MOGE_SPLIT_REUSE_RESIDUALS", "1") != "0"
     entries, _ = _loss_weights_per_instance(loss_config, label_types)
     local_names = [n for n, s in entries.items() if s["function"] == "affine_invariant_local_loss"]
     other_names = [n for n in entries if n not in local_names]
@@ -311,6 +322,24 @@ def make_split_grad_step(
     @jax.jit
     def p1_forward(params, image):
         return module.apply({"params": params}, image, num_tokens)
+
+    # Residual-reuse P1/P3: jax.vjp's returned function is a
+    # jax.tree_util.Partial — a pytree whose leaves are the linearization
+    # residuals — so it crosses the jit boundary as a regular output and the
+    # backward program replays it without re-running the forward. (A
+    # jax.closure_convert formulation fails here: non-inexact residuals such
+    # as bool masks stay baked into the converted jaxpr as leaked tracers.)
+    @jax.jit
+    def p1_forward_vjp(params, image):
+        out, vjp = jax.vjp(
+            lambda p: module.apply({"params": p}, image, num_tokens), params
+        )
+        return out, vjp
+
+    # donate vjp: the residuals are dead after the backward replay
+    @partial(jax.jit, donate_argnums=(0,))
+    def p3_replay(vjp, cot):
+        return vjp(cot)[0]
 
     @jax.jit
     def p2_other(rng, output, batch):
@@ -343,7 +372,11 @@ def make_split_grad_step(
 
     def grad_step(params, batch: Dict[str, jax.Array], rng: jax.Array):
         image = batch["image"]
-        output = p1_forward(params, image)
+        vjp = None
+        if reuse_residuals:
+            output, vjp = p1_forward_vjp(params, image)
+        else:
+            output = p1_forward(params, image)
         total, metrics, scale, cot = p2_other(rng, output, batch)
         # Replicate the fused path's per-local-entry PRNG split chain so the
         # anchor sampling matches the single-program step exactly.
@@ -356,7 +389,10 @@ def make_split_grad_step(
             total = total + t_l
             metrics = {**metrics, **m_l}
             cot = jax.tree.map(jnp.add, cot, cot_l)
-        grads = p3_vjp(params, image, cot)
+        if reuse_residuals:
+            grads = p3_replay(vjp, cot)
+        else:
+            grads = p3_vjp(params, image, cot)
         metrics["total"] = total
         if output.get("points") is not None:
             metrics["monitoring.std"] = output["points"].std()

@@ -308,10 +308,13 @@ def test_split_grad_step_matches_fused():
     key = jax.random.PRNGKey(5)
 
     fused = jax.jit(make_grad_step(module, loss_config, lts, 0))
-    split = make_split_grad_step(module, loss_config, lts, 0)
 
     g1, m1 = fused(state.params, batch, key)
-    g2, m2 = split(state.params, batch, key)
-    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-5)
-    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    # both split variants: residual-reuse P3 (default; replays the stored
+    # linearization) and recompute-forward P3
+    for reuse in (True, False):
+        split = make_split_grad_step(module, loss_config, lts, 0, reuse_residuals=reuse)
+        g2, m2 = split(state.params, batch, key)
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
