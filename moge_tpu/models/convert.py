@@ -269,6 +269,199 @@ def convert_dinov2_backbone(sd: Mapping[str, Any], prefix: str = "", stack_block
     return params
 
 
+# ---------------------------------------------------------------------------
+# Export: moge_tpu flax param pytrees -> torch state_dicts (the inverse maps).
+# Together with utils/pt_writer.save_pt this lets models trained here flow
+# back into the reference's torch ecosystem (checkpoint format
+# {'model_config', 'model'}, reference moge/model/v2.py:77-107).
+# ---------------------------------------------------------------------------
+
+
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32).reshape(1, 3, 1, 1)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32).reshape(1, 3, 1, 1)
+
+
+def _dense_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + "weight"] = np.ascontiguousarray(_np(p["kernel"]).T)
+    if "bias" in p:
+        sd[prefix + "bias"] = _np(p["bias"])
+
+
+def _norm_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + "weight"] = _np(p["scale"])
+    sd[prefix + "bias"] = _np(p["bias"])
+
+
+def _conv1x1_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + "weight"] = np.ascontiguousarray(_np(p["kernel"]).T)[:, :, None, None]
+    if "bias" in p:
+        sd[prefix + "bias"] = _np(p["bias"])
+
+
+def _conv_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    """flax HWIO kernel (kh, kw, I, O) -> torch Conv2d weight (O, I, kh, kw)."""
+    sd[prefix + "weight"] = np.ascontiguousarray(_np(p["kernel"]).transpose(3, 2, 0, 1))
+    if "bias" in p:
+        sd[prefix + "bias"] = _np(p["bias"])
+
+
+def _deconv_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    """our conv-transpose kernel (I, s, s, O) -> torch ConvTranspose2d (I, O, s, s)."""
+    sd[prefix + "weight"] = np.ascontiguousarray(_np(p["kernel"]).transpose(0, 3, 1, 2))
+    sd[prefix + "bias"] = _np(p["bias"])
+
+
+def _res_block_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    """Inverse of _res_block: emits layers.{0,2,3,5} (+ skip_connection)."""
+    if "norm1" in p:
+        _norm_inv(sd, prefix + "layers.0.", p["norm1"])
+    _conv_inv(sd, prefix + "layers.2.", p["conv1"]["conv"])
+    if "norm2" in p:
+        _norm_inv(sd, prefix + "layers.3.", p["norm2"])
+    _conv_inv(sd, prefix + "layers.5.", p["conv2"]["conv"])
+    if "skip" in p:
+        _conv1x1_inv(sd, prefix + "skip_connection.", p["skip"])
+
+
+def _resampler_inv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any], type_: str) -> None:
+    if type_ == "pixel_shuffle":
+        _conv_inv(sd, prefix + "0.", p["conv_pre"]["conv"])
+        _conv_inv(sd, prefix + "2.", p["conv_post"]["conv"])
+    elif type_ in ("nearest", "bilinear", "pixel_unshuffle"):
+        _conv_inv(sd, prefix + "1.", p["conv_post"]["conv"])
+    elif type_ == "conv_transpose":
+        _deconv_inv(sd, prefix + "0.", p["deconv"])
+        _conv_inv(sd, prefix + "1.", p["conv_post"]["conv"])
+    elif type_ in ("avg_pool", "max_pool"):
+        _conv_inv(sd, prefix + "0.", p["conv_pre"]["conv"])
+    else:
+        raise ValueError(f"Unsupported resampler type: {type_}")
+
+
+def export_conv_stack(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any],
+                      cfg: Mapping[str, Any]) -> None:
+    """Inverse of convert_conv_stack (torch names, reference modules.py:195-254)."""
+    dims = list(cfg["dim_res_blocks"])
+    n = len(dims)
+    num_res = cfg.get("num_res_blocks", 1)
+    num_res = num_res if isinstance(num_res, list) else [num_res] * n
+    resamplers = cfg["resamplers"]
+    resamplers = resamplers if isinstance(resamplers, list) else [resamplers] * (n - 1)
+    for i in range(n):
+        if f"input_{i}" in p:
+            _conv1x1_inv(sd, f"{prefix}input_blocks.{i}.", p[f"input_{i}"])
+        for j in range(num_res[i]):
+            _res_block_inv(sd, f"{prefix}res_blocks.{i}.{j}.", p[f"res_{i}_{j}"])
+        if f"output_{i}" in p:
+            _conv1x1_inv(sd, f"{prefix}output_blocks.{i}.", p[f"output_{i}"])
+        if i < n - 1:
+            _resampler_inv(sd, f"{prefix}resamplers.{i}.", p[f"resampler_{i}"], resamplers[i])
+
+
+def export_mlp(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any],
+               dims: Sequence[int]) -> None:
+    for i in range(len(dims) - 1):
+        _dense_inv(sd, f"{prefix}{2 * i}.", p[f"fc{i}"])
+
+
+def export_dinov2_backbone(p: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of convert_dinov2_backbone. Accepts either block layout
+    (unrolled blocks_{i} or the stacked scan layout)."""
+    p = adapt_block_layout({k: v for k, v in p.items()}, stacked=False)
+    sd: Dict[str, np.ndarray] = {}
+    pk = _np(p["patch_kernel"])  # (psz*psz*3, D)
+    dim = pk.shape[1]
+    psz = int(round((pk.shape[0] // 3) ** 0.5))
+    sd[prefix + "patch_embed.proj.weight"] = np.ascontiguousarray(
+        pk.reshape(psz, psz, 3, dim).transpose(3, 2, 0, 1))
+    sd[prefix + "patch_embed.proj.bias"] = _np(p["patch_bias"])
+    sd[prefix + "cls_token"] = _np(p["cls_token"])
+    sd[prefix + "pos_embed"] = _np(p["pos_embed"])
+    if "register_tokens" in p:
+        sd[prefix + "register_tokens"] = _np(p["register_tokens"])
+    sd[prefix + "mask_token"] = np.zeros((1, dim), np.float32)  # unused by MoGe
+    _norm_inv(sd, prefix + "norm.", p["norm"])
+    i = 0
+    while f"blocks_{i}" in p:
+        blk = p[f"blocks_{i}"]
+        bp = f"{prefix}blocks.{i}."
+        _norm_inv(sd, bp + "norm1.", blk["norm1"])
+        _dense_inv(sd, bp + "attn.qkv.", blk["attn"]["qkv"])
+        _dense_inv(sd, bp + "attn.proj.", blk["attn"]["proj"])
+        _norm_inv(sd, bp + "norm2.", blk["norm2"])
+        if "fc1" in blk["mlp"]:
+            _dense_inv(sd, bp + "mlp.fc1.", blk["mlp"]["fc1"])
+            _dense_inv(sd, bp + "mlp.fc2.", blk["mlp"]["fc2"])
+        else:  # SwiGLU (giant)
+            _dense_inv(sd, bp + "mlp.w12.", blk["mlp"]["w12"])
+            _dense_inv(sd, bp + "mlp.w3.", blk["mlp"]["w3"])
+        if "ls1_gamma" in blk:
+            sd[bp + "ls1.gamma"] = _np(blk["ls1_gamma"])
+            sd[bp + "ls2.gamma"] = _np(blk["ls2_gamma"])
+        i += 1
+    return sd
+
+
+def export_moge2(config: Mapping[str, Any], params: Mapping[str, Any]) -> Dict[str, Any]:
+    """(config, flax params) -> reference checkpoint dict {'model_config', 'model'}.
+
+    The inverse of convert_moge2: convert(export(x)) == x bitwise (tested in
+    tests/test_pt_export.py). Write to disk with utils.pt_writer.save_pt.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    enc = params["encoder"]
+    sd.update(export_dinov2_backbone(enc["backbone"], "encoder.backbone."))
+    # ImageNet normalization buffers (constants in this framework; the
+    # reference registers them as state_dict buffers, modules.py:96-97)
+    sd["encoder.image_mean"] = _IMAGENET_MEAN.copy()
+    sd["encoder.image_std"] = _IMAGENET_STD.copy()
+    i = 0
+    while f"proj_{i}" in enc:
+        _conv1x1_inv(sd, f"encoder.output_projections.{i}.", enc[f"proj_{i}"])
+        i += 1
+    export_conv_stack(sd, "neck.", params["neck"], config["neck"])
+    for head in ("points_head", "normal_head", "mask_head"):
+        if head in params:
+            export_conv_stack(sd, head + ".", params[head], config[head])
+    if "scale_head" in params:
+        export_mlp(sd, "scale_head.", params["scale_head"], config["scale_head"]["dims"])
+    return {"model_config": dict(config), "model": sd}
+
+
+def export_moge1(config: Mapping[str, Any], params: Mapping[str, Any]) -> Dict[str, Any]:
+    """(config, flax params) -> reference MoGe-1 checkpoint dict (inverse of
+    convert_moge1; torch names per reference moge/model/v1.py:61-142)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd.update(export_dinov2_backbone(params["backbone"], "backbone."))
+    # ImageNet normalization buffers (reference v1.py:200-204)
+    sd["image_mean"] = _IMAGENET_MEAN.copy()
+    sd["image_std"] = _IMAGENET_STD.copy()
+    head = params["head"]
+    dim_upsample = config.get("dim_upsample", [256, 128, 128])
+    num_res_blocks = config.get("num_res_blocks", 1)
+    last_res_blocks = config.get("last_res_blocks", 0)
+    i = 0
+    while f"proj_{i}" in head:
+        _conv1x1_inv(sd, f"head.projects.{i}.", head[f"proj_{i}"])
+        i += 1
+    for i in range(len(dim_upsample)):
+        pre = f"head.upsample_blocks.{i}."
+        stage = head[f"up_{i}"]
+        _deconv_inv(sd, pre + "0.0.", stage["deconv"])
+        _conv_inv(sd, pre + "0.1.", stage["conv"]["conv"])
+        for j in range(num_res_blocks):
+            _res_block_inv(sd, f"{pre}{1 + j}.", stage[f"res_{j}"])
+    for k in range(2):
+        pre = f"head.output_block.{k}."
+        blockp = head[f"output_{k}"]
+        _conv_inv(sd, pre + "0.", blockp["conv_in"]["conv"])
+        for j in range(last_res_blocks):
+            _res_block_inv(sd, f"{pre}{1 + j}.", blockp[f"res_{j}"])
+        final_idx = 1 + last_res_blocks + 1
+        _conv_inv(sd, pre + f"{final_idx}.", blockp["conv_out"]["conv"])
+    return {"model_config": dict(config), "model": sd}
+
+
 def _find_backbone_dicts(params: Dict[str, Any]):
     """Yield every DinoViT param dict inside a model param tree."""
     if "patch_kernel" in params:

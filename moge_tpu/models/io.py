@@ -107,6 +107,23 @@ def load_native_checkpoint(path) -> Tuple[Dict[str, Any], Any]:
     return meta["config"], params
 
 
+def save_reference_checkpoint(path, config: Dict[str, Any], params, version: str = "v2"):
+    """Export (config, flax params) to the reference's torch ``.pt`` format.
+
+    The inverse of ``load_checkpoint`` for reference-format files: the result
+    is a ``torch.save``-layout archive ({'model_config', 'model': state_dict},
+    reference v2.py:77-107) that ``torch.load(..., weights_only=True)`` and the
+    upstream ``MoGeModel.from_pretrained`` consume — written without torch
+    (utils/pt_writer.py), so trained models can leave a TPU host for the torch
+    ecosystem."""
+    from ..utils.pt_writer import OrderedVal, save_pt
+    from .convert import export_moge1, export_moge2
+
+    export = export_moge2 if version == "v2" else export_moge1
+    ck = export(config, params)
+    save_pt({"model_config": ck["model_config"], "model": OrderedVal(ck["model"])}, path)
+
+
 _ASYNC_CKPTR = None
 
 

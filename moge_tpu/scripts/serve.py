@@ -313,7 +313,7 @@ def create_server(model, host: str, port: int, height: int, width: int,
               help="W8A8 int8 encoder matmuls (2x MXU rate; ~1e-2 output "
                    "drift vs bf16 — serving mode, see ops/quant.py).")
 @click.option("--warmup/--no_warmup", default=True,
-              help="Pre-compile the batch-1 program before accepting traffic.")
+              help="Pre-compile every batch bucket before accepting traffic.")
 def main(pretrained_path, model_version, host, port, resolution, num_tokens,
          max_batch, max_wait_ms, use_fp16, use_int8, warmup):
     import jax.numpy as jnp
