@@ -38,6 +38,7 @@ from .infer_baseline import main as infer_baseline_main
 from .infer_panorama import main as infer_panorama_main
 from .eval_baseline import main as eval_baseline_main
 from .export_pt import main as export_pt_main
+from .export_stablehlo import main as export_stablehlo_main
 from .serve import main as serve_main
 from .train import main as train_main
 from .vis_data import main as vis_data_main
@@ -55,6 +56,7 @@ main.add_command(infer_baseline_main, name="infer_baseline")
 main.add_command(infer_panorama_main, name="infer_panorama")
 main.add_command(eval_baseline_main, name="eval_baseline")
 main.add_command(export_pt_main, name="export_pt")
+main.add_command(export_stablehlo_main, name="export_stablehlo")
 main.add_command(serve_main, name="serve")
 main.add_command(train_main, name="train")
 main.add_command(vis_data_main, name="vis_data")
