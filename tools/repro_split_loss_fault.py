@@ -9,10 +9,14 @@ separate programs — executes fine. No model is involved: the fault
 reproduces on a loss-only program over synthetic tensors.
 
 Usage (on the TPU host):
-    python tools/repro_split_loss_fault.py --mode single4    # OK
-    python tools/repro_split_loss_fault.py --mode single16   # OK
-    python tools/repro_split_loss_fault.py --mode separate   # OK (two programs)
-    python tools/repro_split_loss_fault.py --mode fused      # expected: worker crash
+    python tools/repro_split_loss_fault.py --mode single4       # OK
+    python tools/repro_split_loss_fault.py --mode single16      # OK
+    python tools/repro_split_loss_fault.py --mode separate      # OK (two programs)
+    python tools/repro_split_loss_fault.py --mode fused_batched # expected OK: ONE
+        # batched solve for both losses — the mitigation structure compute_losses
+        # emits (train/step.py); validates it on the real runtime WITHOUT the crash
+    python tools/repro_split_loss_fault.py --mode fused         # expected: worker crash
+        # WARNING: past crashes have wedged the chip for hours — run deliberately
 
 Each mode prints "OK <mode> loss=<...> grad_norm=<...>" on success.
 See docs/split_loss_tpu_fault.md for the investigation record.
@@ -29,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["single4", "single16", "separate", "fused"], required=True)
+    ap.add_argument("--mode", choices=["single4", "single16", "separate", "fused_batched", "fused"],
+                    required=True)
     ap.add_argument("--hw", type=int, nargs=2, default=(592, 592),
                     help="point-map height width (default: 16*37 = the 1369-token decoder size)")
     ap.add_argument("--batch", type=int, default=2)
@@ -86,6 +91,28 @@ def main():
         l1, g1 = jax.jit(jax.value_and_grad(one_loss(4)))(pred_j, k1)
         l2, g2 = jax.jit(jax.value_and_grad(one_loss(16)))(pred_j, k2)
         report("separate", l1 + l2, g1 + g2)
+    elif args.mode == "fused_batched":
+        # The mitigation structure (train/step.py compute_losses, round 3):
+        # both entries' patch prepares, ONE concatenated alignment solve, per-
+        # entry finish — a single solver scan in the fused gradient program.
+        from moge_tpu.ops.alignment import align_points_scale_xyz_shift
+        from moge_tpu.train.losses import local_loss_finish, local_loss_prepare
+
+        def fused_batched(p, k):
+            k1, k2 = jax.random.split(k)
+            i1, c1 = local_loss_prepare(k1, p, gt_j, focal, 4)
+            i2, c2 = local_loss_prepare(k2, p, gt_j, focal, 16)
+            src = jnp.concatenate([i1[0], i2[0]])
+            tgt = jnp.concatenate([i1[1], i2[1]])
+            w_lr = jnp.concatenate([i1[2], i2[2]])
+            sc, sh = align_points_scale_xyz_shift(src, tgt, w_lr)
+            n1 = i1[0].shape[0]
+            l4, _ = local_loss_finish(c1, sc[:n1], sh[:n1], scale)
+            l16, _ = local_loss_finish(c2, sc[n1:], sh[n1:], scale)
+            return jnp.mean(l4) + jnp.mean(l16)
+
+        loss, grad = jax.jit(jax.value_and_grad(fused_batched))(pred_j, key)
+        report("fused_batched", loss, grad)
     else:
         print("running fused two-local-loss grad program (expected: TPU worker crash)...",
               flush=True)
