@@ -10,10 +10,12 @@ only Q, K, V and the output.
 
 Design points for this model family:
   * head_dim 64, heads 6..24, N in [1201, 3601] (+1 cls token): N is padded
-    to the K-block multiple; padded keys are masked with an additive -inf
-    bias ROW passed into the kernel (one add per logit — cheaper than the
-    per-element iota+compare+select it replaced; the VPU work per logit is
-    what bounds this kernel after the d=64 half-rate MXU matmuls).
+    to the K-block multiple. The FORWARD masks padding without any per-logit
+    work: invalid K/V rows are zeroed (their logits are exactly 0) and V
+    carries an appended key-validity column, so the single PV matmul emits
+    the numerator and the exact real-keys softmax denominator together — no
+    bias add, no VPU cross-lane sum reduce. The backward keeps the additive
+    -inf bias row (it reconstructs P from logits + bias - lse).
   * q is pre-scaled by d**-0.5 once over (N, d) instead of scaling the
     (N, N) logits; for d=64 the scale is an exact power of two, so numerics
     are bit-identical.
@@ -52,15 +54,24 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, k_block: int):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, d_model: int):
     """Forward that also emits the per-row logsumexp (for the backward).
 
     MXU inputs stay bf16 (fp32 operands run the MXU in multi-pass mode,
-    several times slower); accumulation and softmax are fp32. ``bias_ref``
-    is a (1, n_padded) fp32 row: 0 for valid keys, -inf for padding.
+    several times slower); accumulation and softmax are fp32.
+
+    The softmax DENOMINATOR rides the MXU: ``v_ref`` carries an extra
+    key-validity column (1 for real keys, 0 for padding, appended by the
+    wrapper), so ``p @ v_ext`` yields the numerator and the exact sum of
+    probabilities over real keys in one matmul — no per-logit bias add and
+    no VPU cross-lane sum reduce, the two measured VPU costs after the max
+    reduce (tools/exp_flash_softmax.py: 1.79 -> 1.68 ms/layer at N=3601).
+    Requires zero-padded K (pad logits are exactly 0, handled by the
+    wrapper), which also bounds the running max at >= 0: exp stays safe and
+    the softmax value is mathematically independent of the m shift.
     """
     q = q_ref[:]
-    n_padded, d = k_ref.shape
+    n_padded = k_ref.shape[0]
     num_k_blocks = n_padded // k_block
     q_block = q.shape[0]
 
@@ -70,35 +81,34 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, k_block:
         v = v_ref[:]
         logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        logits = logits + bias_ref[0]
-        m = jnp.max(logits, axis=-1, keepdims=True)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
         p = jnp.exp(logits - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        acc_ext = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        l = acc_ext[:, d_model:d_model + 1]
+        o_ref[:] = (acc_ext[:, :d_model] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
         return
 
     def body(i, carry):
-        acc, m, l = carry
+        acc_ext, m = carry
         k = k_ref[pl.ds(i * k_block, k_block), :]
         v = v_ref[pl.ds(i * k_block, k_block), :]
         logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        logits = logits + bias_ref[0, pl.ds(i * k_block, k_block)]
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
+        # the validity column of acc_ext IS the running denominator; the
+        # rescale applies to numerator and denominator uniformly.
+        acc_new = acc_ext * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
+        return acc_new, m_new
 
-    acc0 = jnp.zeros((q_block, d), jnp.float32)
-    m0 = jnp.full((q_block, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((q_block, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc0 = jnp.zeros((q_block, d_model + 1), jnp.float32)
+    m0 = jnp.zeros((q_block, 1), jnp.float32)  # pad logits are 0 -> max >= 0
+    acc_ext, m = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0))
+    l = acc_ext[:, d_model:d_model + 1]
+    o_ref[:] = (acc_ext[:, :d_model] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     lse_ref[:] = (m + jnp.log(jnp.maximum(l, 1e-30)))
 
 
@@ -180,14 +190,20 @@ def _flash_core_fwd_impl(qp, kp, vp, bias, q_block, k_block):
     bh, nq_pad, d = qp.shape
     nkv_pad = kp.shape[1]
     grid = (bh, nq_pad // q_block)
+    # Key-validity column appended to V: p @ v_ext computes the softmax
+    # denominator on the MXU (see _flash_fwd_kernel docstring). K rows the
+    # bias marks invalid are already zero (wrapper contract), so their
+    # logits are exactly 0 and their v_ext row (incl. the validity column)
+    # is 0 — they contribute to neither numerator nor denominator.
+    valid = (bias[0] == 0.0).astype(vp.dtype)[None, :, None]
+    v_ext = jnp.concatenate([vp, jnp.broadcast_to(valid, (bh, nkv_pad, 1))], axis=-1)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, k_block=k_block),
+        functools.partial(_flash_fwd_kernel, k_block=k_block, d_model=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, nkv_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, nkv_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, nkv_pad), lambda i, j: (0, 0)),
+            pl.BlockSpec((None, nkv_pad, d + 1), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, q_block, d), lambda i, j: (i, j, 0)),
@@ -198,7 +214,7 @@ def _flash_core_fwd_impl(qp, kp, vp, bias, q_block, k_block):
             jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
-    )(qp, kp, vp, bias)
+    )(qp, kp, v_ext)
     return out, lse
 
 
@@ -311,6 +327,15 @@ def flash_attention(
     # the kernel. For d a power of four the scale is a power of two and this
     # is bit-exact; otherwise it only reorders a bf16 rounding.
     scale = d ** -0.5
+    # Forward-kernel contract: INVALID K/V rows are zero, so pad logits are
+    # exactly 0 and the validity column of v_ext kills their contribution
+    # (no per-logit bias in the forward). jnp.pad zeros rows >= n_kv; rows
+    # in [kv_valid, n_kv) (the sequence-parallel all-gather padding) are
+    # zeroed here.
+    if kv_valid < n_kv:
+        row_ok = (jnp.arange(n_kv) < kv_valid)[None, :, None, None]
+        k = k * row_ok.astype(k.dtype)
+        v = v * row_ok.astype(v.dtype)
     # (B, N, H, D) -> (B*H, N_pad, D)
     qp = pad(q * jnp.asarray(scale, q.dtype), nq_pad).transpose(0, 2, 1, 3).reshape(b * h, nq_pad, d)
     kp = pad(k, nkv_pad).transpose(0, 2, 1, 3).reshape(b * h, nkv_pad, d)
