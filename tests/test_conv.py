@@ -285,6 +285,7 @@ def test_chain_ref_matches_sequence_and_grads():
     assert np.isfinite(np.asarray(gk)).all() and float(jnp.abs(gk).max()) > 0
 
 
+@pytest.mark.slow
 def test_convstack_chain_matches_plain(monkeypatch):
     """ConvStack chain wiring (forced on via MOGE_CHAIN_CONV) reproduces the
     plain image-domain path for a MoGe-2-head-shaped pyramid, and both modes

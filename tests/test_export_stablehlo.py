@@ -67,6 +67,7 @@ def test_raw_forward_artifact(model):
                                    rtol=1e-3, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_infer_artifact_matches_live_infer(model):
     h = w = 56
     blob = export_stablehlo(model, h, w, num_tokens=16, batch=2, with_postprocess=True)

@@ -272,6 +272,7 @@ def test_global_loss_gradient():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.slow
 def test_batched_local_solves_bitwise_identical():
     """compute_losses with MOGE_BATCH_LOCAL_SOLVES=1 (one concatenated
     align_points_scale_xyz_shift call for all local-loss entries) must be

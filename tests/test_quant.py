@@ -35,6 +35,7 @@ def test_quant_matmul_relative_error():
     assert rel < 0.02, rel  # per-row/per-col 8-bit: ~0.5-1% on gaussians
 
 
+@pytest.mark.slow
 def test_int8_vit_param_tree_and_drift():
     """use_int8 must reuse the exact same parameter tree (checkpoints load
     unchanged) and produce bounded activation drift vs the fp32 path."""
@@ -60,6 +61,7 @@ def test_int8_vit_param_tree_and_drift():
     assert num / den < 0.05, num / den  # serving-mode drift bound
 
 
+@pytest.mark.slow
 def test_int8_model_infer_runs():
     from test_eval_e2e import TINY_V2_CONFIG
 

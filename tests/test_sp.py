@@ -28,6 +28,7 @@ def _setup(h0=9, w0=13):
     return vit, params, image
 
 
+@pytest.mark.slow
 def test_sp_encode_matches_single_device():
     vit, params, image = _setup()
     ref = vit.apply({"params": params}, image, (1, 3))
@@ -43,6 +44,7 @@ def test_sp_encode_matches_single_device():
         np.testing.assert_allclose(np.asarray(c_sp), np.asarray(c_ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_encode_scan_layout():
     vit, params, image = _setup()
     ref = vit.apply({"params": params}, image, (0, 2))
