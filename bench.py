@@ -235,8 +235,23 @@ def main():
         add_row("panorama_merge_1024x512_lsmr", 1000.0 * merge_s["lsmr"], "ms")
         add_row("panorama_12view_e2e_cg", 1000.0 * (infer_s + merge_s["cg"]), "ms")
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    # Merge-preserve: quick/default runs re-measure only a subset of the
+    # matrix; rows NOT re-measured this run (keyed by metric name) are kept
+    # from the committed file rather than silently dropped. (Rounds 2 and 3
+    # both lost the 16-row matrix to a 4-row quick run overwriting it.)
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    merged = {}
+    if os.path.exists(bench_path):
+        try:
+            with open(bench_path) as f:
+                for row in json.load(f):
+                    merged[row["metric"]] = row
+        except (json.JSONDecodeError, KeyError, TypeError):
+            merged = {}
+    for row in rows:
+        merged[row["metric"]] = row
+    with open(bench_path, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
 
     # Driver contract: exactly one JSON line on stdout — the headline.
     print(json.dumps({
