@@ -105,7 +105,16 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, k_block: int, d_mo
         return acc_new, m_new
 
     acc0 = jnp.zeros((q_block, d_model + 1), jnp.float32)
-    m0 = jnp.zeros((q_block, 1), jnp.float32)  # pad logits are 0 -> max >= 0
+    # Pad columns carry logit exactly 0, so the running max m is pinned at
+    # >= 0. NUMERICS ASSUMPTION: some real logit per query row must exceed
+    # ~-80, else exp(logit - m) underflows for every real key, the
+    # denominator hits its 1e-30 floor and the row degrades to ~0 output
+    # with a wrong lse. (The old -inf-bias scheme anchored m at the true row
+    # max, guaranteeing l >= 1, at the cost of an extra VPU pass.) Safe for
+    # the validated regime: post-LayerNorm DINOv2/MoGe QK^T logits stay
+    # within +-50 even at the high-norm outlier tokens; an all-real-logits
+    # < -80 row would require adversarial ~sqrt(80*2/d)-scale activations.
+    m0 = jnp.zeros((q_block, 1), jnp.float32)
     acc_ext, m = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0))
     l = acc_ext[:, d_model:d_model + 1]
     o_ref[:] = (acc_ext[:, :d_model] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)

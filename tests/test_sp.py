@@ -72,6 +72,26 @@ def test_cross_length_sdpa_masks_padding():
     np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc), atol=1e-6)
 
 
+def test_sp_encode_parity_fast():
+    """Fast-tier sp smoke (ADVICE r3): a 2-layer ViT over sp=2 with a token
+    count NOT divisible by sp, so the kv_valid shard-padding interaction with
+    the attention kernel stays covered by `-m "not slow"` runs."""
+    cfg = ViTConfig(embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0,
+                    patch_size=14, pos_grid=37, num_register_tokens=0)
+    rng = np.random.default_rng(2)
+    # 5*6 = 30 patch tokens + 1 cls = 31: odd, so sp=2 pads the shards
+    image = jnp.asarray(rng.standard_normal((1, 5 * 14, 6 * 14, 3)), jnp.float32)
+    vit = DinoViT(cfg, dtype=jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), image, (1,))["params"]
+    ref = vit.apply({"params": params}, image, (1,))
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("sp",))
+    out = sequence_parallel_encode(cfg, params, image, (1,), mesh, sp_axis="sp")
+    for (p_sp, c_sp), (p_ref, c_ref) in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_ref), atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(c_sp), np.asarray(c_ref), atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.slow
 def test_sp_model_infer_matches():
     """Full MoGeModel.infer with sp_mesh: the shard_map'ed decode (token-

@@ -88,13 +88,13 @@ def make_kernel(variant, k_cols_pad, d_model=64):
     return kernel
 
 
-def build(variant, bh, nq_pad, nkv_pad, d, q_block, dtype):
+def build(variant, bh, nq_pad, nkv_pad, d, q_block, dtype, n_real):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dv = d + 1 if variant.startswith("mxusum") else d
-    kern = make_kernel(variant, float(nkv_pad - 3601), d_model=d)
+    kern = make_kernel(variant, float(nkv_pad - n_real), d_model=d)
     call = pl.pallas_call(
         kern,
         grid=(bh, nq_pad // q_block),
@@ -124,8 +124,9 @@ def main():
 
     bh, d = 16, 64
     q_block = args.qb
-    nq_pad = (args.n + q_block - 1) // q_block * q_block
-    nq_pad = (nq_pad + 127) // 128 * 128
+    import math
+    quantum = q_block * 128 // math.gcd(q_block, 128)  # lcm: divisible by BOTH
+    nq_pad = (args.n + quantum - 1) // quantum * quantum
     nkv_pad = nq_pad
     rng = np.random.default_rng(0)
     qp = jnp.asarray(rng.standard_normal((bh, nq_pad, d)) * 0.125, jnp.bfloat16)
@@ -143,7 +144,7 @@ def main():
     variants = ["base", "nobias", "bf16sm", "noexp", "nomax", "mxusum", "mxusum_nomax"]
     fns, outs = {}, {}
     for v in variants:
-        call = build(v, bh, nq_pad, nkv_pad, d, q_block, qp.dtype)
+        call = build(v, bh, nq_pad, nkv_pad, d, q_block, qp.dtype, args.n)
         vin = v_ext if v.startswith("mxusum") else vp
 
         @functools.partial(jax.jit, static_argnums=())
@@ -160,7 +161,7 @@ def main():
             print(f"{v}: compile failed: {type(e).__name__}: {e}")
 
     # numerics check vs base (one call, not chained)
-    one = {v: build(v, bh, nq_pad, nkv_pad, d, q_block, qp.dtype)(qp, kp, fns[v][1], bias)
+    one = {v: build(v, bh, nq_pad, nkv_pad, d, q_block, qp.dtype, args.n)(qp, kp, fns[v][1], bias)
            for v in fns}
     ref = np.asarray(one["base"][:, :args.n], np.float32)
     for v in fns:
