@@ -85,10 +85,16 @@ def main():
         help="run the fused program even when the local losses do not consolidate "
         "into one batched solve (KNOWN to crash the TPU worker and wedge the chip)",
     )
+    ap.add_argument("--bench_out", default=None, metavar="PREFIX",
+                    help="merge a '<PREFIX>_<mode>' row per mode into BENCH_FULL.json "
+                         "(ms/grad-step; merge-preserves unrelated rows)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/moge_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from moge_tpu.models import import_model_class_by_version
     from moge_tpu.train.step import (local_solves_batchable, make_grad_step,
@@ -138,6 +144,21 @@ def main():
         print(f"{mode}: {ms:.1f} ms/grad-step  loss_total={total:.4f} "
               f"grad_checksum={leaf:.6g}  (incl. compile: {time.perf_counter()-t0:.0f}s)")
         results[mode] = (ms, total, leaf)
+
+    if args.bench_out and results:
+        bench_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                  "BENCH_FULL.json")
+        merged = {}
+        if os.path.exists(bench_path):
+            with open(bench_path) as f:
+                for row in json.load(f):
+                    merged[row["metric"]] = row
+        for mode, (ms, _, _) in results.items():
+            metric = f"{args.bench_out}_{mode}"
+            merged[metric] = {"metric": metric, "value": round(ms, 1), "unit": "ms/grad-step"}
+        with open(bench_path, "w") as f:
+            json.dump(list(merged.values()), f, indent=1)
+        print(f"merged {len(results)} row(s) into BENCH_FULL.json")
 
     for a, b, label in (("fused", "split", "split overhead"),
                         ("split", "split_recompute", "recompute overhead"),
