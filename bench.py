@@ -185,6 +185,22 @@ def main():
                     BASELINE_MS / ms)
             del fn
 
+        # ---- batched throughput at the reference-default 3600-token regime
+        #      (resolution_level=9, reference v2.py:236-238) — the deployment
+        #      number serve.py's micro-batching exploits: batching amortizes
+        #      dispatch RTT and the per-image epilogue where the b=1 latency
+        #      margin is thinnest. ----
+        side36 = round((3600 ** 0.5) * 14)
+        fn36 = _checksum_v2(vitl, 3600, 1.0)
+        for B in (2, 4):
+            imgB = image_batch(B, side36, side36)
+            ms_b = _bench_fn(fn36, (vitl.params, imgB), n=6)
+            add_row(f"moge2_vitl_throughput_3600tok_bf16_b{B}",
+                    1000.0 * B / ms_b, "images/sec/chip",
+                    (1000.0 * B / ms_b) / (1000.0 / BASELINE_MS))
+            del imgB
+        del fn36
+
         # ---- W8A8 int8 serving mode (NOT the parity path: ~1e-2 output
         #      drift vs bf16; ops/quant.py). Separate, clearly-labeled rows.
         vitl8 = MoGeModelV2(preset["config"], vitl.params, dtype=jnp.bfloat16, use_int8=True)
@@ -225,6 +241,12 @@ def main():
         masks = [np.ones((512, 512), bool)] * len(views)
         merge_s = {}
         for solver in ("cg", "lsmr"):
+            if solver == "cg":
+                # Warm pass: the jit CG solve compiles on first call; the row
+                # reports the warm number (the compile is one-time and cached,
+                # and lsmr as host scipy has no analogous cost to include).
+                merge_panorama_depth(1024, 512, dist, masks, extrinsics, intrinsics,
+                                     solver=solver)
             t0 = _time.perf_counter()
             depth, _ = merge_panorama_depth(
                 1024, 512, dist, masks, extrinsics, intrinsics, solver=solver)

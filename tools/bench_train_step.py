@@ -53,17 +53,30 @@ def make_batch(rng, b, side):
     }
 
 
-def time_step(fn, params, batch, key, n, reps):
+def time_step(fn, params, batch, key, n, reps, block_each=False):
+    """block_each: sync after every call instead of once per rep. Required for
+    the split modes — their VJP residuals live between the P1 and P3 programs,
+    so queueing n un-synced steps holds n residual sets alive at once and OOMs
+    the chip at ViT-L scale. Sync = a scalar READBACK, not block_until_ready:
+    over the axon tunnel block_until_ready does not actually wait (bench.py
+    methodology note). Costs one tunnel RTT per step (~1-29 ms drift);
+    min-over-reps absorbs it."""
     import jax
 
+    def sync(g):
+        # force device completion: tiny scalar readback of one grad leaf
+        return float(jax.tree.leaves(g)[0].ravel()[0].astype("float32"))
+
     grads, metrics = fn(params, batch, key)  # warmup / compile
-    jax.block_until_ready(grads)
+    sync(grads)
     per = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n):
             grads, metrics = fn(params, batch, key)
-        jax.block_until_ready(grads)
+            if block_each:
+                sync(grads)
+        sync(grads)
         per.append((time.perf_counter() - t0) / n)
     leaf = float(jax.tree.leaves(grads)[0].astype("float32").sum())
     return min(per) * 1e3, float(metrics["total"]), leaf
@@ -140,7 +153,8 @@ def main():
         else:
             raise SystemExit(f"unknown mode {mode}")
         t0 = time.perf_counter()
-        ms, total, leaf = time_step(fn, model.params, batch, key, args.n, args.reps)
+        ms, total, leaf = time_step(fn, model.params, batch, key, args.n, args.reps,
+                                    block_each=mode.startswith("split"))
         print(f"{mode}: {ms:.1f} ms/grad-step  loss_total={total:.4f} "
               f"grad_checksum={leaf:.6g}  (incl. compile: {time.perf_counter()-t0:.0f}s)")
         results[mode] = (ms, total, leaf)

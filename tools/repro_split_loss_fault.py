@@ -38,7 +38,17 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(592, 592),
                     help="point-map height width (default: 16*37 = the 1369-token decoder size)")
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--dump_hlo", metavar="DIR", default=None,
+                    help="lower + compile the mode's gradient program(s) with HLO dumps "
+                         "into DIR and EXIT WITHOUT EXECUTING — safe for the fused mode "
+                         "(the fault is execution-time; compile completes, "
+                         "docs/split_loss_tpu_fault.md investigation record)")
     args = ap.parse_args()
+
+    if args.dump_hlo:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_dump_to={args.dump_hlo}/{args.mode}"
+                                   " --xla_dump_hlo_as_text").strip()
 
     import jax
     import jax.numpy as jnp
@@ -79,6 +89,21 @@ def main():
     def report(name, loss, grad):
         gn = float(jnp.sqrt(jnp.sum(jnp.square(grad))))
         print(f"OK {name} loss={float(loss):.6f} grad_norm={gn:.6f}")
+
+    if args.dump_hlo:
+        # Compile-only: the fault is an execution-time kernel fault; lowering
+        # and compilation complete even for the fused mode. This is how the
+        # faulting pattern's HLO is captured without wedging the chip.
+        fns = {"single4": [one_loss(4)], "single16": [one_loss(16)],
+               "separate": [one_loss(4), one_loss(16)], "fused": [fused]}
+        if args.mode == "fused_batched":
+            raise SystemExit("--dump_hlo supports single4/single16/separate/fused")
+        for i, f in enumerate(fns[args.mode]):
+            compiled = jax.jit(jax.value_and_grad(f)).lower(pred_j, key).compile()
+            print(f"compiled {args.mode}[{i}]: "
+                  f"{compiled.cost_analysis().get('flops', 0.0):.3e} flops; "
+                  f"HLO dumped to {args.dump_hlo}/{args.mode}")
+        return
 
     if args.mode == "single4":
         loss, grad = jax.jit(jax.value_and_grad(one_loss(4)))(pred_j, key)
