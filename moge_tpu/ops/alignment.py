@@ -18,9 +18,10 @@ data-dependent control flow, so everything jits and vmaps on TPU:
   * anchor-enumerating solvers (`align_depth_affine`,
     `align_points_scale_z_shift`, `align_points_scale_xyz_shift`): the
     reference enumerates all weight>0 anchors (torch.where) and scatter_min's
-    per-batch. Here all N anchors are evaluated with invalid anchors masked to
-    +inf loss, chunked with lax.map to bound peak memory (the reference chunks
-    too, :130-134, 284-285).
+    per-batch. Here all rows*anchors problems are evaluated with invalid
+    anchors masked to +inf loss, flat-chunked over (row, anchor) pairs to
+    bound peak memory while staying fully vectorized (the reference chunks
+    per-row instead, :130-134, 284-285 — see _flat_anchor_align).
 
 Gradients flow through the final regathered a = y[idx]/x[idx] exactly like the
 reference (solve under stop_gradient, reproduce by indexing).
@@ -29,6 +30,7 @@ reference (solve under stop_gradient, reproduce by indexing).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Tuple, Union
 
@@ -38,6 +40,90 @@ import jax.numpy as jnp
 
 def _take(x, idx):
     return jnp.take_along_axis(x, idx, axis=-1)
+
+
+def _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps):
+    """Truncated exact-L1 align via one variadic stable sort of breakpoint
+    events — the TPU-fast equivalent of the prefix-sum formulation.
+
+    Each term f_i(a) = min(trunc, w_i|a x_i - y_i|) is piecewise linear in a
+    with breakpoints B_i <= A_i <= C_i:
+
+        a <= B_i : trunc        B_i..A_i : wy_i - a wx_i
+        a >= C_i : trunc        A_i..C_i : a wx_i - wy_i
+
+    so F(a) = sum_i f_i(a) = trunc*K(a) + a*S(a) + T(a) where (K, S, T) are
+    prefix sums of per-event deltas over the value-sorted event list
+    (K counts terms in their flat regions, K(-inf) = n):
+
+        event B_i: dK=-1 dS=-wx_i dT=+wy_i     (flat -> falling linear)
+        event A_i: dK= 0 dS=+2wx_i dT=-2wy_i   (kink)
+        event C_i: dK=+1 dS=-wx_i dT=+wy_i     (rising linear -> flat)
+
+    Evaluating the inclusive prefix at candidate a = A_j reproduces the
+    reference's side conventions (count_le for B and A, count_lt for C,
+    moge/utils/alignment.py:84-144) when ties are broken B < A < C — which
+    is exactly what a STABLE sort of concat([B, A, C]) gives for free.
+    Equal-valued A events form a contiguous run; every member must read the
+    prefix at its run END (side='right' self-count), done with one
+    reverse-cummin + one take_along_axis.
+
+    Why this shape: the prefix-sum formulation compiled to 3 vmapped
+    searchsorteds + ~12 permutation gathers, which execute at ~1-2 Melem/s
+    on TPU (tools/bench_align_ops.py) and made the alignment losses 99.7%
+    of the v2 train step. Here the only sorted-order data movement happens
+    INSIDE one variadic sort (compare-swaps carry the payloads), then
+    cumsums + elementwise math; no searchsorted, one gather.
+    """
+    n = xs.shape[-1]
+    batch_shape = xs.shape[:-1]
+    three_n = 3 * n
+    f32 = xs.dtype
+
+    vals = jnp.concatenate([B, A, C], axis=-1)
+    d_s = jnp.concatenate([-wx, 2 * wx, -wx], axis=-1)
+    d_t = jnp.concatenate([wy, -2 * wy, wy], axis=-1)
+    one = jnp.ones_like(w)
+    d_k = jnp.concatenate([-one, jnp.zeros_like(w), one], axis=-1)
+    idx = jnp.broadcast_to(
+        jnp.concatenate([jnp.full((n,), n, jnp.int32),
+                         jnp.arange(n, dtype=jnp.int32),
+                         jnp.full((n,), n, jnp.int32)]),
+        vals.shape,
+    )
+
+    vals_s, d_s_s, d_t_s, d_k_s, idx_s = jax.lax.sort(
+        (vals, d_s, d_t, d_k, idx), dimension=-1, is_stable=True, num_keys=1
+    )
+
+    s_pre = jnp.cumsum(d_s_s, axis=-1)
+    t_pre = jnp.cumsum(d_t_s, axis=-1)
+    k_pre = n + jnp.cumsum(d_k_s, axis=-1)
+    t_b = trunc_arr[..., None] if trunc_arr.ndim else trunc_arr
+    f_all = t_b * k_pre + vals_s * s_pre + t_pre
+
+    is_a = idx_s < n
+    # run end: last A event of an equal-value cluster (C events with the same
+    # value sort after every A, so equal-valued A's are contiguous)
+    nxt_same = jnp.concatenate(
+        [is_a[..., 1:] & (vals_s[..., 1:] == vals_s[..., :-1]),
+         jnp.zeros((*batch_shape, 1), bool)], axis=-1)
+    run_end = is_a & ~nxt_same
+    pos = jnp.arange(three_n, dtype=jnp.int32)
+    end_pos = jax.lax.cummin(jnp.where(run_end, pos, three_n - 1),
+                             axis=vals_s.ndim - 1, reverse=True)
+    f_cand = _take(f_all, end_pos)                      # (.., 3n) valid at is_a
+
+    f_masked = jnp.where(is_a, f_cand, jnp.inf)
+    best_pos = jnp.argmin(f_masked, axis=-1)            # first sorted pos = first
+    loss = _take(f_masked, best_pos[..., None])[..., 0]  # original idx on in-run ties
+    index = _take(idx_s, best_pos[..., None])[..., 0]
+
+    loss = jax.lax.stop_gradient(loss)
+    index = jax.lax.stop_gradient(index)
+    a = _take(ys, index[..., None])[..., 0] / jnp.maximum(
+        _take(xs, index[..., None])[..., 0], eps)
+    return a, loss, index
 
 
 def align(
@@ -80,6 +166,9 @@ def align(
     A = ys / jnp.maximum(xs, eps)
     B = (wy - trunc_arr) / jnp.maximum(wx, eps)
     C = (wy + trunc_arr) / jnp.maximum(wx, eps)
+
+    if os.environ.get("MOGE_ALIGN_TRUNC_IMPL", "events") == "events":
+        return _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps)
 
     def closed_form_losses(A, B, C, wx, wy):
         """F(a_j) for all candidates a_j = A_j, via prefix sums (stop-grad)."""
@@ -141,22 +230,43 @@ def align(
 # Anchor-based affine solvers
 # ---------------------------------------------------------------------------
 
-def _chunked_anchor_align(xs_anch, ys_anch, w_anch, trunc, chunk: int):
-    """align() over the anchor axis in lax.map chunks to bound peak memory.
+def _flat_anchor_align(n_rows: int, n_anchors: int, length: int, make_chunk, trunc,
+                       elems: int = 1 << 22):
+    """Solve the n_rows*n_anchors independent align() problems of size
+    ``length`` in fixed-size FLAT chunks over (row, anchor) pairs.
 
-    inputs: (num_anchors, n). Returns (a, loss, index) per anchor.
+    ``make_chunk(row_idx, anchor_idx)`` gathers the (M, length) problem
+    tensors (xs, ys, ws) for a chunk of flat indices. Returns per-pair
+    ``(loss, index)`` reshaped to (n_rows, n_anchors).
+
+    Flat chunking decouples peak memory (``elems`` elements per tensor) from
+    the per-row anchor count: many-row/small-n problems (the level-64 local
+    loss: 16k rows of n=36) vectorize across rows instead of scanning
+    row-by-row, while few-row/large-n problems (the global loss: B rows of
+    n=48*48) still bound memory by splitting a row's anchors across chunks.
+    When everything fits in one chunk the program contains NO scan at all —
+    the reference instead chunks per-row (alignment.py:130-134, 284-285),
+    which on TPU compiled to a sequential lax.map over rows with a nested
+    anchor scan (latency-bound, and the nested-scan structure is implicated
+    in the fused-program runtime fault, docs/split_loss_tpu_fault.md).
     """
-    num_anchors = xs_anch.shape[0]
-    pad = (-num_anchors) % chunk
-    if pad:
-        padder = lambda v: jnp.concatenate([v, jnp.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
-        xs_anch, ys_anch, w_anch = padder(xs_anch), padder(ys_anch), padder(w_anch)
-    xs_c = xs_anch.reshape(-1, chunk, xs_anch.shape[-1])
-    ys_c = ys_anch.reshape(-1, chunk, ys_anch.shape[-1])
-    w_c = w_anch.reshape(-1, chunk, w_anch.shape[-1])
-    a, loss, idx = jax.lax.map(lambda args: align(*args, trunc=trunc), (xs_c, ys_c, w_c))
-    unpad = lambda v: v.reshape(-1, *v.shape[2:])[:num_anchors]
-    return unpad(a), unpad(loss), unpad(idx)
+    total = n_rows * n_anchors
+    m = int(min(total, max(128, elems // max(length, 1))))
+
+    def solve(start):
+        flat = jnp.minimum(start + jnp.arange(m), total - 1)
+        r, a_idx = flat // n_anchors, flat % n_anchors
+        xs, ys, ws = make_chunk(r, a_idx)
+        _, loss, idx = align(xs, ys, ws, trunc=trunc)
+        return loss, idx
+
+    if m >= total:
+        loss, idx = solve(jnp.asarray(0))
+    else:
+        num_chunks = -(-total // m)
+        loss, idx = jax.lax.map(solve, jnp.arange(num_chunks) * m)
+        loss, idx = loss.reshape(-1)[:total], idx.reshape(-1)[:total]
+    return loss.reshape(n_rows, n_anchors), idx.reshape(n_rows, n_anchors)
 
 
 def align_depth_scale(depth_src, depth_tgt, weight, trunc=None):
@@ -165,7 +275,7 @@ def align_depth_scale(depth_src, depth_tgt, weight, trunc=None):
     return scale
 
 
-def align_depth_affine(depth_src, depth_tgt, weight, trunc=None, anchor_chunk: int = 256):
+def align_depth_affine(depth_src, depth_tgt, weight, trunc=None):
     """Affine (scale+shift) exact weighted-L1 alignment (reference :163-214).
 
     ``depth_src/tgt/weight``: (..., N). Returns (scale (...), shift (...)).
@@ -176,18 +286,18 @@ def align_depth_affine(depth_src, depth_tgt, weight, trunc=None, anchor_chunk: i
     src = depth_src.reshape(-1, n)
     tgt = depth_tgt.reshape(-1, n)
     w = jnp.broadcast_to(weight, depth_src.shape).reshape(-1, n)
+    p = src.shape[0]
 
-    def solve_one(args):
-        src_b, tgt_b, w_b = args  # (n,)
-        src_anch = src_b[None, :] - src_b[:, None]   # (n anchors, n)
-        tgt_anch = tgt_b[None, :] - tgt_b[:, None]
-        w_anch = jnp.broadcast_to(w_b[None, :], (n, n))
-        a, loss, idx = _chunked_anchor_align(src_anch, tgt_anch, w_anch, trunc, anchor_chunk)
-        loss = jnp.where(w_b > 0, loss, jnp.inf)      # anchors only at weight>0
-        anchor = jnp.argmin(loss)
-        return anchor, idx[anchor]
+    def make_chunk(r, a_idx):
+        src_r, tgt_r = src[r], tgt[r]                      # (M, n)
+        av_s = jnp.take_along_axis(src_r, a_idx[:, None], axis=1)
+        av_t = jnp.take_along_axis(tgt_r, a_idx[:, None], axis=1)
+        return src_r - av_s, tgt_r - av_t, w[r]
 
-    anchors, idx2 = jax.lax.map(solve_one, (src, tgt, w))
+    loss, idx = _flat_anchor_align(p, n, n, make_chunk, trunc)
+    loss = jnp.where(w > 0, loss, jnp.inf)                 # anchors only at weight>0
+    anchors = jnp.argmin(loss, axis=-1)
+    idx2 = jnp.take_along_axis(idx, anchors[:, None], axis=1)[:, 0]
     i1 = anchors
     # Reproduce differentiably by indexing (reference :202-213)
     take = lambda v, i: jnp.take_along_axis(v, i[:, None], axis=1)[:, 0]
@@ -244,45 +354,43 @@ def _scale_shift_from_indices(points_src, points_tgt, z_only: bool, i1, idx2):
     return scale, shift
 
 
-def _align_points_scale_shift(points_src, points_tgt, weight, trunc, z_only: bool, anchor_chunk: int):
+def _align_points_scale_shift(points_src, points_tgt, weight, trunc, z_only: bool):
     batch_shape = points_src.shape[:-2]
     n = points_src.shape[-2]
     src = points_src.reshape(-1, n, 3)
     tgt = points_tgt.reshape(-1, n, 3)
     w = weight.reshape(-1, n)
+    p = src.shape[0]
+    z_mask = jnp.asarray([0.0, 0.0, 1.0], src.dtype) if z_only else None
 
-    def solve_one(args):
-        src_b, tgt_b, w_b = args  # (n, 3), (n,)
-        if z_only:
-            anchor_src = jnp.concatenate(
-                [jnp.zeros((n, 2), src_b.dtype), src_b[:, 2:3]], axis=-1
-            )  # (n_anchors, 3)
-            anchor_tgt = jnp.concatenate([jnp.zeros((n, 2), tgt_b.dtype), tgt_b[:, 2:3]], axis=-1)
-        else:
-            anchor_src, anchor_tgt = src_b, tgt_b
-        src_anch = (src_b[None, :, :] - anchor_src[:, None, :]).reshape(n, n * 3)
-        tgt_anch = (tgt_b[None, :, :] - anchor_tgt[:, None, :]).reshape(n, n * 3)
-        w_anch = jnp.broadcast_to(w_b[None, :, None], (n, n, 3)).reshape(n, n * 3)
-        a, loss, idx = _chunked_anchor_align(src_anch, tgt_anch, w_anch, trunc, anchor_chunk)
-        loss = jnp.where(w_b > 0, loss, jnp.inf)
-        anchor = jnp.argmin(loss)
-        idx2 = idx[anchor]
-        i1 = anchor * 3 + idx2 % 3  # reference :291: anchor pixel, same coord as idx2
-        return i1, idx2
+    def make_chunk(r, a_idx):
+        src_r, tgt_r = src[r], tgt[r]                      # (M, n, 3)
+        av_s, av_t = src[r, a_idx], tgt[r, a_idx]          # (M, 3)
+        if z_mask is not None:                             # anchor vector = (0, 0, z_a)
+            av_s, av_t = av_s * z_mask, av_t * z_mask
+        m = av_s.shape[0]
+        xs = (src_r - av_s[:, None, :]).reshape(m, n * 3)
+        ys = (tgt_r - av_t[:, None, :]).reshape(m, n * 3)
+        ws = jnp.broadcast_to(w[r][:, :, None], (m, n, 3)).reshape(m, n * 3)
+        return xs, ys, ws
 
-    i1, idx2 = jax.lax.map(solve_one, (src, tgt, w))
+    loss, idx = _flat_anchor_align(p, n, n * 3, make_chunk, trunc)
+    loss = jnp.where(w > 0, loss, jnp.inf)
+    anchor = jnp.argmin(loss, axis=-1)                     # (P,)
+    idx2 = jnp.take_along_axis(idx, anchor[:, None], axis=1)[:, 0]
+    i1 = anchor * 3 + idx2 % 3  # reference :291: anchor pixel, same coord as idx2
     scale, shift = _scale_shift_from_indices(src, tgt, z_only, i1, idx2)
     return scale.reshape(batch_shape), shift.reshape(*batch_shape, 3)
 
 
-def align_points_scale_z_shift(points_src, points_tgt, weight, trunc=None, anchor_chunk: int = 128):
+def align_points_scale_z_shift(points_src, points_tgt, weight, trunc=None):
     """Shared xyz scale + z shift (ROE solver of the global loss, reference :251-302)."""
-    return _align_points_scale_shift(points_src, points_tgt, weight, trunc, z_only=True, anchor_chunk=anchor_chunk)
+    return _align_points_scale_shift(points_src, points_tgt, weight, trunc, z_only=True)
 
 
-def align_points_scale_xyz_shift(points_src, points_tgt, weight, trunc=None, anchor_chunk: int = 128):
+def align_points_scale_xyz_shift(points_src, points_tgt, weight, trunc=None):
     """Shared xyz scale + xyz shift (local loss solver, reference :305-355)."""
-    return _align_points_scale_shift(points_src, points_tgt, weight, trunc, z_only=False, anchor_chunk=anchor_chunk)
+    return _align_points_scale_shift(points_src, points_tgt, weight, trunc, z_only=False)
 
 
 def align_points_z_shift(points_src, points_tgt, weight, trunc=None):

@@ -398,6 +398,17 @@ def make_split_grad_step(
             metrics["monitoring.std"] = output["points"].std()
         return grads, metrics
 
+    # Expose the individual XLA programs for stage-level profiling
+    # (tools/profile_split_step.py times each one separately).
+    grad_step.programs = {
+        "p1_forward": p1_forward,
+        "p1_forward_vjp": p1_forward_vjp,
+        "p2_other": p2_other,
+        **{f"p2_local:{n}": p2_locals[n] for n in local_names},
+        "p3_replay": p3_replay,
+        "p3_vjp": p3_vjp,
+    }
+    grad_step.local_names = list(local_names)
     return grad_step
 
 
