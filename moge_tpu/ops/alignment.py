@@ -37,6 +37,8 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from .bitonic import sort_with_payloads
+
 
 def _take(x, idx):
     return jnp.take_along_axis(x, idx, axis=-1)
@@ -92,9 +94,19 @@ def _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps):
         vals.shape,
     )
 
-    vals_s, d_s_s, d_t_s, d_k_s, idx_s = jax.lax.sort(
-        (vals, d_s, d_t, d_k, idx), dimension=-1, is_stable=True, num_keys=1
-    )
+    # Explicit bitonic network (ops/bitonic.py) — measured SLOWER than the
+    # generic sort HLO on v5e even at the shortest real rows (318 vs 167 ms
+    # at the level-64 local shape, tools/bench_align_ops.py): XLA
+    # materializes every network stage, so the log^2 elementwise passes pay
+    # full HBM round-trips. Kept as an opt-in experiment; default off.
+    bitonic_max = int(os.environ.get("MOGE_BITONIC_MAX", "0"))
+    if three_n <= bitonic_max:
+        vals_s, d_s_s, d_t_s, d_k_s, idx_s = sort_with_payloads(
+            vals, [d_s, d_t, d_k, idx])
+    else:
+        vals_s, d_s_s, d_t_s, d_k_s, idx_s = jax.lax.sort(
+            (vals, d_s, d_t, d_k, idx), dimension=-1, is_stable=True, num_keys=1
+        )
 
     s_pre = jnp.cumsum(d_s_s, axis=-1)
     t_pre = jnp.cumsum(d_t_s, axis=-1)

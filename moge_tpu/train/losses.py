@@ -341,9 +341,22 @@ def mask_l2_loss(pred_mask: jax.Array, gt_mask_pos: jax.Array, gt_mask_neg: jax.
 
 
 def mask_bce_loss(pred_mask_prob: jax.Array, gt_mask_pos: jax.Array, gt_mask_neg: jax.Array):
-    """Reference losses.py:277-280 (torch BCE semantics: log clamped at -100)."""
-    log_p = jnp.maximum(jnp.log(pred_mask_prob), -100.0)
-    log_1p = jnp.maximum(jnp.log1p(-pred_mask_prob), -100.0)
+    """Reference losses.py:277-280 (torch BCE semantics: log clamped at -100).
+
+    The clamp must be GRADIENT-safe, not just value-safe: with a bare
+    ``maximum(log(p), -100)``, the VJP at p == 0 is ``0 * (1/0) = NaN`` (the
+    masked branch still differentiates log). The bf16 sigmoid saturates to
+    exactly 0/1 once the mask head trains for even one step, which NaN'd
+    every gradient of the first real-TPU training run (round 4,
+    tools/debug_nan_grads.py bisected it to this loss's cotangent); the
+    fluke torch avoids because its fused BCE backward never materializes
+    log(0). where()-guard the log INPUT so the dead branch is differentiated
+    at a safe point.
+    """
+    p = pred_mask_prob
+    log_p = jnp.where(p > 0, jnp.maximum(jnp.log(jnp.where(p > 0, p, 1.0)), -100.0), -100.0)
+    q = 1.0 - p
+    log_1p = jnp.where(q > 0, jnp.maximum(jnp.log(jnp.where(q > 0, q, 1.0)), -100.0), -100.0)
     bce = -(gt_mask_pos * log_p + (1.0 - gt_mask_pos.astype(log_p.dtype)) * log_1p)
     loss = (gt_mask_pos | gt_mask_neg) * bce
     return loss.mean(axis=(-2, -1)), {}

@@ -70,7 +70,11 @@ def main():
     print(f"shape ({R}, {L}) = {elems/1e6:.1f}M elements", flush=True)
 
     row("align untruncated", bench(jax.jit(lambda *a: align(*a)[1]), x, y, w))
-    row("align trunc=1.0", bench(jax.jit(lambda *a: align(*a, trunc=1.0)[1]), x, y, w))
+    for name, env in (("bitonic", str(3 * L)), ("lax.sort", "0")):
+        os.environ["MOGE_BITONIC_MAX"] = env
+        row(f"align trunc=1.0 [{name}]",
+            bench(jax.jit(lambda *a: align(*a, trunc=1.0)[1]), x, y, w))
+    os.environ.pop("MOGE_BITONIC_MAX", None)
     row("sort (1 operand)", bench(jax.jit(lambda v: jnp.sort(v, axis=-1)), q))
     row("argsort", bench(jax.jit(lambda v: jnp.argsort(v, axis=-1)), q))
     row("argsort stable", bench(jax.jit(lambda v: jnp.argsort(v, axis=-1, stable=True)), q))
