@@ -71,7 +71,11 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     from ..train.utils import build_optimizer
     from ..utils.tools import key_average
 
-    jax.config.update("jax_compilation_cache_dir", str(Path(workspace) / ".jax_cache"))
+    # Share the CLI-wide persistent compile cache (scripts/cli.py) rather than
+    # a per-workspace one: deleting a workspace must not throw away ~15 min of
+    # ViT-L XLA compiles (MOGE_CACHE_DIR overrides, same as the CLI).
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", str(Path(workspace) / ".jax_cache"))
 
     config = json.loads(Path(config_path).read_text())
     workspace = Path(workspace)
