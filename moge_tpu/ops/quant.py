@@ -1,10 +1,17 @@
-"""W8A8 dynamic int8 quantization for MXU matmuls (opt-in serving mode).
+"""W8A8 dynamic int8 quantization for MXU matmuls (opt-in; measured NOT to win).
 
-The v5e MXU executes int8 x int8 -> int32 at twice the bf16 rate, and the
-ViT encoder's dense projections (qkv/proj/fc1/fc2) are where the FLOPs are
-at the 2500-3600-token regime. This module provides a drop-in Dense twin
-that quantizes symmetric per-output-channel weights and per-row (per-token)
-activations on the fly:
+Round-4 hardware verdict (tools/bench_int8_mxu.py + an in-jit chained
+dot_general rate test, docs/perf_model.md): int8xint8->int32 through XLA
+dot_general runs at only ~1.24x the bf16 rate on this v5e — not the 2x the
+serving-mode design assumed — and the dynamic per-call quantization
+overhead erases even that: end-to-end ViT-L inference measures 16.6 vs
+16.6 ms at 518 px and 57.5 vs 54.1 ms at 3600 tokens (int8 6% SLOWER;
+BENCH_FULL.json int8 rows). The mode is kept as a tested opt-in for
+hardware/compilers where the int8 path is real, but on this target it is a
+documented loss, not a lever.
+
+The mechanism: a drop-in Dense twin that quantizes symmetric
+per-output-channel weights and per-row (per-token) activations on the fly:
 
     y = (round(x/s_a) @ round(W/s_w)) * s_a * s_w + b      (int32 accumulate)
 

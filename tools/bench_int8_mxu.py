@@ -31,16 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(fn, args, n=20, reps=5):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """All benched fns return a scalar; force a READBACK to sync — over the
+    axon tunnel block_until_ready does not actually wait (bench.py note)."""
+    float(fn(*args))
     per = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)
-        jax.block_until_ready(out)
+        float(out)
         per.append((time.perf_counter() - t0) / n)
     return min(per) * 1e3
 
