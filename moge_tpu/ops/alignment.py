@@ -44,6 +44,73 @@ def _take(x, idx):
     return jnp.take_along_axis(x, idx, axis=-1)
 
 
+def _align_trunc_dense(xs, ys, wx, wy, A, trunc_arr, eps):
+    """Truncated exact-L1 align by DENSE evaluation of the objective at every
+    candidate: F_j = sum_i min(trunc, |A_j * wx_i - wy_i|)  (w_i|a x_i - y_i|
+    = |a*wx_i - wy_i| for w >= 0), then a flat argmin over j.
+
+    This is the same piecewise-linear objective the prefix-sum and event-sweep
+    forms evaluate (reference moge/utils/alignment.py:84-144) — the global
+    minimum of F over R lies at a breakpoint a = A_j, and evaluating ALL
+    breakpoints finds it — but computed with zero sorts, zero gathers and zero
+    scans: only broadcasted multiply/abs/min and a sum reduction.
+
+    Why: on TPU the O(L log L) sorted forms are bound by lax.sort at
+    ~21-24 Melem/s (tools/bench_align_impls.py), while this O(L^2) form runs
+    at VPU elementwise rate (~130 Gpair/s measured = ~0.7 Top/s, near the v5e
+    VPU floor). At the shipped v2 solver shapes (L = 108..6912, ~32M input
+    elements each) dense is measured 2.1x (global, L=6912) to 25x (level-64,
+    L=108) faster than the event sweep — 5.5x total across the four losses
+    (see docs/perf_model.md). The candidate axis is processed in chunks so
+    the (rows, chunk, L) broadcast stays within a fixed element budget
+    (MOGE_ALIGN_DENSE_ELEMS, default 2^25).
+    """
+    batch_shape = xs.shape[:-1]
+    L = xs.shape[-1]
+    r = int(math.prod(batch_shape)) if batch_shape else 1
+    # The objective/argmin is non-differentiable by contract (gradients flow
+    # through the regathered a = y[idx]/x[idx] only). Stop-grad the INPUTS,
+    # not just the output: this guarantees the vjp never records chunk
+    # residuals (O(r*L*chunk) select masks) regardless of how the caller's
+    # partial-eval DCE fares — the split-program trainer materializes any
+    # surviving residuals as program-boundary outputs in HBM.
+    A2 = jax.lax.stop_gradient(A).reshape(r, L)
+    wx2 = jax.lax.stop_gradient(wx).reshape(r, L)
+    wy2 = jax.lax.stop_gradient(wy).reshape(r, L)
+    t_b = jax.lax.stop_gradient(trunc_arr)
+
+    target = int(os.environ.get("MOGE_ALIGN_DENSE_ELEMS", str(1 << 25)))
+    cb = max(1, min(L, target // max(r * L, 1)))
+    nch = -(-L // cb)
+
+    a_pad = jnp.pad(A2, ((0, 0), (0, nch * cb - L)))
+
+    def chunk_f(start):
+        a_c = jax.lax.dynamic_slice(a_pad, (0, start), (r, cb))       # (r, cb)
+        return jnp.sum(
+            jnp.minimum(t_b, jnp.abs(a_c[:, :, None] * wx2[:, None, :] - wy2[:, None, :])),
+            axis=-1,
+        )
+
+    if nch == 1:
+        f = chunk_f(0)
+    else:
+        f = jax.lax.map(chunk_f, jnp.arange(nch) * cb)                 # (nch, r, cb)
+        f = jnp.moveaxis(f, 0, 1).reshape(r, nch * cb)[:, :L]
+
+    f = jax.lax.stop_gradient(f)
+    index = jnp.argmin(f, axis=-1)
+    loss = jnp.take_along_axis(f, index[:, None], axis=-1)[:, 0]
+    a_flat = jnp.take_along_axis(ys.reshape(r, L), index[:, None], axis=-1)[:, 0] / jnp.maximum(
+        jnp.take_along_axis(xs.reshape(r, L), index[:, None], axis=-1)[:, 0], eps
+    )
+    return (
+        a_flat.reshape(batch_shape),
+        loss.reshape(batch_shape),
+        index.reshape(batch_shape),
+    )
+
+
 def _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps):
     """Truncated exact-L1 align via one variadic stable sort of breakpoint
     events — the TPU-fast equivalent of the prefix-sum formulation.
@@ -176,10 +243,22 @@ def align(
     trunc_arr = jnp.asarray(trunc, dtype=x.dtype)
     wx, wy = w * xs, w * ys
     A = ys / jnp.maximum(xs, eps)
+
+    impl = os.environ.get("MOGE_ALIGN_TRUNC_IMPL", "auto")
+    if impl == "auto":
+        # Dense O(L^2) evaluation beats the sorted O(L log L) forms whenever
+        # the VPU-rate-vs-sort-rate ratio (~6000x elem-rate, measured
+        # tools/bench_align_impls.py) exceeds L: even at the largest solver
+        # row MoGe ever builds (L = 3*48^2 = 6912) dense measures 2.1x
+        # faster on the chip (718 vs 1507 ms), so dense is the default
+        # everywhere. MOGE_ALIGN_TRUNC_IMPL=events|prefix selects the
+        # sorted forms.
+        impl = "dense"
+    if impl == "dense":
+        return _align_trunc_dense(xs, ys, wx, wy, A, trunc_arr, eps)
     B = (wy - trunc_arr) / jnp.maximum(wx, eps)
     C = (wy + trunc_arr) / jnp.maximum(wx, eps)
-
-    if os.environ.get("MOGE_ALIGN_TRUNC_IMPL", "events") == "events":
+    if impl == "events":
         return _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps)
 
     def closed_form_losses(A, B, C, wx, wy):

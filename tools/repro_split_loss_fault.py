@@ -45,10 +45,10 @@ def main():
                          "docs/split_loss_tpu_fault.md investigation record)")
     args = ap.parse_args()
 
-    if args.dump_hlo:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                                   f" --xla_dump_to={args.dump_hlo}/{args.mode}"
-                                   " --xla_dump_hlo_as_text").strip()
+    # NOTE: --xla_dump_to is useless on the tunneled TPU (compilation happens
+    # in the server process; the local dump dir stays empty). The --dump_hlo
+    # path below captures post-optimization HLO via compiled.as_text(), which
+    # queries the executable itself and works through the tunnel.
 
     import jax
     import jax.numpy as jnp
@@ -98,11 +98,15 @@ def main():
                "separate": [one_loss(4), one_loss(16)], "fused": [fused]}
         if args.mode == "fused_batched":
             raise SystemExit("--dump_hlo supports single4/single16/separate/fused")
+        os.makedirs(args.dump_hlo, exist_ok=True)
         for i, f in enumerate(fns[args.mode]):
             compiled = jax.jit(jax.value_and_grad(f)).lower(pred_j, key).compile()
+            path = os.path.join(args.dump_hlo, f"{args.mode}_{i}.hlo.txt")
+            with open(path, "w") as fh:
+                fh.write(compiled.as_text())
             print(f"compiled {args.mode}[{i}]: "
                   f"{compiled.cost_analysis().get('flops', 0.0):.3e} flops; "
-                  f"HLO dumped to {args.dump_hlo}/{args.mode}")
+                  f"post-optimization HLO -> {path}")
         return
 
     if args.mode == "single4":
