@@ -162,6 +162,10 @@ def apply_epilogue(raw: Dict[str, jax.Array], img_h: int, img_w: int, remap_outp
         out["normal"] = pred / jnp.maximum(norm, 1e-12)
     if "mask_raw" in raw:
         pred = resize_2d(raw["mask_raw"], (img_h, img_w), mode="bilinear", channel_last=True)
+        # Pre-sigmoid logit is exposed for the training BCE (computed in logit
+        # space so the gradient stays p - y even where the bf16 sigmoid
+        # saturates to exactly 0/1; see train/losses.py:mask_bce_logit_loss).
+        out["mask_logit"] = pred[..., 0]
         out["mask"] = jax.nn.sigmoid(pred[..., 0])
     if "metric_scale" in raw:
         out["metric_scale"] = raw["metric_scale"]

@@ -77,7 +77,14 @@ def _align_trunc_dense(xs, ys, wx, wy, A, trunc_arr, eps):
     A2 = jax.lax.stop_gradient(A).reshape(r, L)
     wx2 = jax.lax.stop_gradient(wx).reshape(r, L)
     wy2 = jax.lax.stop_gradient(wy).reshape(r, L)
-    t_b = jax.lax.stop_gradient(trunc_arr)
+    # scalar trunc broadcasts everywhere; per-element trunc (..., n) applies
+    # along the TERM axis i (last axis of the (r, cb, L) chunk), never the
+    # candidate axis
+    t_sg = jax.lax.stop_gradient(trunc_arr)
+    if t_sg.ndim:
+        t_b = jnp.broadcast_to(t_sg, xs.shape).reshape(r, 1, L)
+    else:
+        t_b = t_sg
 
     target = int(os.environ.get("MOGE_ALIGN_DENSE_ELEMS", str(1 << 25)))
     cb = max(1, min(L, target // max(r * L, 1)))
@@ -160,6 +167,13 @@ def _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps):
                          jnp.full((n,), n, jnp.int32)]),
         vals.shape,
     )
+    # per-element trunc (..., n): the flat-region contribution of term i is
+    # trunc_i, so the counting prefix K becomes a trunc-weighted prefix
+    # (one extra sort payload); scalar trunc keeps the cheaper count form
+    per_elem_t = bool(trunc_arr.ndim)
+    if per_elem_t:
+        t_full = jnp.broadcast_to(trunc_arr, xs.shape)
+        d_tr = jnp.concatenate([-t_full, jnp.zeros_like(t_full), t_full], axis=-1)
 
     # Explicit bitonic network (ops/bitonic.py) — measured SLOWER than the
     # generic sort HLO on v5e even at the shortest real rows (318 vs 167 ms
@@ -167,19 +181,22 @@ def _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps):
     # materializes every network stage, so the log^2 elementwise passes pay
     # full HBM round-trips. Kept as an opt-in experiment; default off.
     bitonic_max = int(os.environ.get("MOGE_BITONIC_MAX", "0"))
+    payloads = [d_s, d_t, d_k, idx] + ([d_tr] if per_elem_t else [])
     if three_n <= bitonic_max:
-        vals_s, d_s_s, d_t_s, d_k_s, idx_s = sort_with_payloads(
-            vals, [d_s, d_t, d_k, idx])
+        vals_s, *payloads_s = sort_with_payloads(vals, payloads)
     else:
-        vals_s, d_s_s, d_t_s, d_k_s, idx_s = jax.lax.sort(
-            (vals, d_s, d_t, d_k, idx), dimension=-1, is_stable=True, num_keys=1
+        vals_s, *payloads_s = jax.lax.sort(
+            (vals, *payloads), dimension=-1, is_stable=True, num_keys=1
         )
+    d_s_s, d_t_s, d_k_s, idx_s = payloads_s[:4]
 
     s_pre = jnp.cumsum(d_s_s, axis=-1)
     t_pre = jnp.cumsum(d_t_s, axis=-1)
-    k_pre = n + jnp.cumsum(d_k_s, axis=-1)
-    t_b = trunc_arr[..., None] if trunc_arr.ndim else trunc_arr
-    f_all = t_b * k_pre + vals_s * s_pre + t_pre
+    if per_elem_t:
+        trunc_term = jnp.sum(t_full, axis=-1, keepdims=True) + jnp.cumsum(payloads_s[4], axis=-1)
+    else:
+        trunc_term = trunc_arr * (n + jnp.cumsum(d_k_s, axis=-1))
+    f_all = trunc_term + vals_s * s_pre + t_pre
 
     is_a = idx_s < n
     # run end: last A event of an equal-value cluster (C events with the same
@@ -260,6 +277,10 @@ def align(
     C = (wy + trunc_arr) / jnp.maximum(wx, eps)
     if impl == "events":
         return _align_trunc_events(xs, ys, w, wx, wy, A, B, C, trunc_arr, eps)
+    if impl != "prefix":
+        raise ValueError(
+            f"MOGE_ALIGN_TRUNC_IMPL={impl!r} — expected 'auto', 'dense', 'events' or 'prefix'"
+        )
 
     def closed_form_losses(A, B, C, wx, wy):
         """F(a_j) for all candidates a_j = A_j, via prefix sums (stop-grad)."""
@@ -301,8 +322,18 @@ def align(
         SwxB, SwyB = g(pwx_B, nB), g(pwy_B, nB)
         SwxC, SwyC = g(pwx_C, nC), g(pwy_C, nC)
 
+        if trunc_arr.ndim:
+            # per-element trunc: the flat-region total is sum_i t_i minus the
+            # truncs that have entered their linear window (B_i <= a) plus the
+            # ones that already left it (C_i < a)
+            t_full = jnp.broadcast_to(trunc_arr, wx.shape)
+            pt_B, pt_C = prefix(t_full, orderB), prefix(t_full, orderC)
+            trunc_term = jnp.sum(t_full, axis=-1, keepdims=True) - g(pt_B, nB) + g(pt_C, nC)
+        else:
+            trunc_term = trunc_arr * ((n - nB) + nC)
+
         F = (
-            trunc_arr * ((n - nB) + nC)
+            trunc_term
             + A * (SwxA - SwxC)
             - (SwyA - SwyC)
             + (SwyB - SwyA)

@@ -362,6 +362,27 @@ def mask_bce_loss(pred_mask_prob: jax.Array, gt_mask_pos: jax.Array, gt_mask_neg
     return loss.mean(axis=(-2, -1)), {}
 
 
+def mask_bce_logit_loss(mask_logit: jax.Array, gt_mask_pos: jax.Array, gt_mask_neg: jax.Array):
+    """BCE computed in logit space (numerically preferred form of
+    :func:`mask_bce_loss`; same reference semantics, losses.py:277-280).
+
+    The prob-space form above is value-safe but its gradient is zero wherever
+    the bf16 sigmoid saturates to exactly 0/1 (|logit| >~ 6 in bf16), so
+    confidently-WRONG pixels stop learning through this loss. The reference's
+    fused torch BCE backward keeps the analytic chain gradient p - y there.
+    Computing ``-log sigmoid(+/- z)`` in fp32 reproduces that: the gradient
+    w.r.t. the logit is exactly ``sigmoid(z) - y`` at every finite logit.
+    The -100 clamp matches torch's BCE log clamp (only reachable at
+    |z| > 100 in fp32, where torch's clamped log is also gradient-dead).
+    """
+    z = mask_logit.astype(jnp.float32)
+    log_p = jnp.maximum(jax.nn.log_sigmoid(z), -100.0)
+    log_1p = jnp.maximum(jax.nn.log_sigmoid(-z), -100.0)
+    bce = -(gt_mask_pos * log_p + (1.0 - gt_mask_pos.astype(log_p.dtype)) * log_1p)
+    loss = (gt_mask_pos | gt_mask_neg) * bce
+    return loss.mean(axis=(-2, -1)), {}
+
+
 def metric_scale_loss(scale_pred: jax.Array, scale_gt: jax.Array):
     """Log-MSE on the metric scale (reference losses.py:283-285)."""
     valid = scale_gt > 0

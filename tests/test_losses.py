@@ -86,6 +86,37 @@ def test_mask_losses_match():
         np.testing.assert_allclose(np.asarray(got_l), ref_l.numpy(), rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_mask_bce_logit_loss():
+    """Logit-space BCE: value parity with the prob form on unsaturated input,
+    and a LIVE gradient (p - y) where the bf16 sigmoid saturates to exactly
+    0/1 — the failure ADVICE r4 flagged in the prob-space NaN guard."""
+    rng = np.random.default_rng(6)
+    z = rng.uniform(-4, 4, (2, 16, 20)).astype(np.float32)
+    pos = rng.uniform(0, 1, (2, 16, 20)) > 0.5
+    neg = ~pos & (rng.uniform(0, 1, (2, 16, 20)) > 0.3)
+
+    ref_l, _ = ref_losses.mask_bce_loss(
+        torch.sigmoid(torch.from_numpy(z)), torch.from_numpy(pos), torch.from_numpy(neg)
+    )
+    got_l, _ = jlosses.mask_bce_logit_loss(jnp.asarray(z), jnp.asarray(pos), jnp.asarray(neg))
+    np.testing.assert_allclose(np.asarray(got_l), ref_l.numpy(), rtol=1e-4, atol=1e-5)
+
+    # bf16 sigmoid saturates at |z| ~ 6.3; a confidently-WRONG pixel (z=+20,
+    # label 0) must keep gradient ~= sigmoid(z) - y = +1 through the logit
+    # path. The prob path (what the model emitted before round 5) yields 0.
+    z_sat = jnp.full((1, 4, 4), 20.0, jnp.bfloat16)
+    pos_s = jnp.zeros((1, 4, 4), bool)
+    neg_s = jnp.ones((1, 4, 4), bool)
+
+    g_logit = jax.grad(lambda zz: jlosses.mask_bce_logit_loss(zz, pos_s, neg_s)[0].sum())(z_sat)
+    np.testing.assert_allclose(np.asarray(g_logit, np.float32), 1.0 / 16, rtol=1e-2)
+
+    g_prob = jax.grad(
+        lambda zz: jlosses.mask_bce_loss(jax.nn.sigmoid(zz), pos_s, neg_s)[0].sum()
+    )(z_sat)
+    assert np.all(np.asarray(g_prob, np.float32) == 0.0)  # documents why the logit path exists
+
+
 def test_metric_scale_and_normal_map_losses_match():
     rng = np.random.default_rng(4)
     sp = rng.uniform(0.5, 2, (4,)).astype(np.float32)

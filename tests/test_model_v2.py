@@ -85,7 +85,10 @@ def test_forward_parity(models):
         ref_out = ref.forward(torch.from_numpy(img), num_tokens=num_tokens)
     got_out = mine.forward(jnp.asarray(np.moveaxis(img, 1, -1)), num_tokens=num_tokens)
 
-    assert set(got_out.keys()) == set(ref_out.keys()) == {"points", "normal", "mask", "metric_scale"}
+    # forward additionally exposes the pre-sigmoid mask logit for the
+    # logit-space training BCE (reference returns the probability only)
+    assert set(ref_out.keys()) == {"points", "normal", "mask", "metric_scale"}
+    assert set(got_out.keys()) == {"points", "normal", "mask", "mask_logit", "metric_scale"}
     np.testing.assert_allclose(np.asarray(got_out["points"]), ref_out["points"].numpy(), rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_out["normal"]), ref_out["normal"].numpy(), rtol=5e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_out["mask"]), ref_out["mask"].numpy(), rtol=5e-3, atol=1e-3)
