@@ -353,7 +353,7 @@ def align(
 # ---------------------------------------------------------------------------
 
 def _flat_anchor_align(n_rows: int, n_anchors: int, length: int, make_chunk, trunc,
-                       elems: int = 1 << 22):
+                       elems: Optional[int] = None):
     """Solve the n_rows*n_anchors independent align() problems of size
     ``length`` in fixed-size FLAT chunks over (row, anchor) pairs.
 
@@ -372,6 +372,8 @@ def _flat_anchor_align(n_rows: int, n_anchors: int, length: int, make_chunk, tru
     anchor scan (latency-bound, and the nested-scan structure is implicated
     in the fused-program runtime fault, docs/split_loss_tpu_fault.md).
     """
+    if elems is None:
+        elems = int(os.environ.get("MOGE_ALIGN_ANCHOR_ELEMS", str(1 << 22)))
     total = n_rows * n_anchors
     m = int(min(total, max(128, elems // max(length, 1))))
 

@@ -86,6 +86,54 @@ def test_mask_losses_match():
         np.testing.assert_allclose(np.asarray(got_l), ref_l.numpy(), rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_anchor_sampling_weight_shift_matches_gather():
+    """The shift-based anchor-weight form (round 5, one dynamic_slice per test
+    offset instead of 64 full-map gathers) must be statistically equivalent to
+    the reference-literal gather form: same marginal sampling distribution,
+    so the estimated density field agrees up to Monte-Carlo noise."""
+    rng = np.random.default_rng(8)
+    h, w = 48, 64
+    # scene: flat far plane with a near thin vertical bar => the bar and its
+    # rim have fewer 3D-near neighbors and must get HIGHER weight
+    z = np.full((h, w), 4.0, np.float32)
+    z[:, 28:32] = 1.0
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    pts = np.stack([(xx / w - 0.5) * z, (yy / h - 0.5) * z, z], -1)[None]
+    mask = np.ones((1, h, w), bool)
+    mask[0, :4, :4] = False
+    r2d = 6
+    r3d = (0.5 / 8) / 1.0 * z[None]
+
+    # Both estimators have the SAME per-pixel marginal (count ~ Binomial(64,
+    # p_i) either way) but independent Monte-Carlo noise, so a single draw
+    # decorrelates in flat regions where true weights are constant. Compare
+    # the estimator MEANS: average both over K keys and require the averaged
+    # density fields to agree.
+    K = 16
+    shift_sum, gather_sum = 0.0, 0.0
+    for s in range(K):
+        key = jax.random.PRNGKey(s)
+        shift_sum = shift_sum + np.asarray(jlosses.compute_anchor_sampling_weight(
+            key, jnp.asarray(pts), jnp.asarray(mask), r2d, jnp.asarray(r3d), num_test=64))
+        gather_sum = gather_sum + np.asarray(jlosses._anchor_sampling_weight_gather(
+            key, jnp.asarray(pts), jnp.asarray(mask), r2d, jnp.asarray(r3d), num_test=64))
+    w_shift, w_gather = shift_sum / K, gather_sum / K
+
+    for name, wgt in [("shift", w_shift), ("gather", w_gather)]:
+        assert wgt.shape == (1, h, w), name
+        np.testing.assert_allclose(wgt.sum(), 1.0, rtol=1e-4, err_msg=name)
+        assert (wgt[~mask] == 0).all(), name
+        bar = wgt[0, :, 26:34].mean()
+        flat = wgt[0, :, 8:20].mean()
+        assert bar > 1.5 * flat, f"{name}: fine structure not upweighted ({bar} vs {flat})"
+
+    # same expected density field: averaged fields strongly agree
+    v = mask[0]
+    corr = np.corrcoef(w_shift[0][v], w_gather[0][v])[0, 1]
+    assert corr > 0.9, f"shift/gather averaged-weight correlation too low: {corr}"
+    np.testing.assert_allclose(w_shift[0][v].mean(), w_gather[0][v].mean(), rtol=1e-3)
+
+
 def test_mask_bce_logit_loss():
     """Logit-space BCE: value parity with the prob form on unsaturated input,
     and a LIVE gradient (p - y) where the bf16 sigmoid saturates to exactly
