@@ -44,6 +44,113 @@ def _take(x, idx):
     return jnp.take_along_axis(x, idx, axis=-1)
 
 
+def _dense_objective_pallas(A2, wx2, wy2, t2, interpret=False):
+    """F[r, j] = sum_i min(t2[r,i], |A2[r,j]*wx2[r,i] - wy2[r,i]|) via a
+    VMEM-resident Pallas kernel — the dense truncated-align objective at VPU
+    speed-of-light.
+
+    Why a kernel: the XLA formulation of the same dense evaluation measures
+    ~0.33 Tpair/s on the v5e; this kernel measures ~0.71 Tpair/s = ~3.5
+    VPU-op/s at the 5 ops/pair (mul, sub, abs, min, acc-add), i.e. ~2.1x
+    (tools/exp_dense_pallas.py, interleaved min-of-reps at the real v2
+    global-loss chunk shape). Two details matter: (a) the whole (rb, Li)
+    term slab stays VMEM-resident across all candidate tiles, and (b) the
+    term loop is STATICALLY UNROLLED — under lax.fori_loop Mosaic cannot
+    software-pipeline across iterations and the same kernel runs 1.75x
+    slower (41 vs 72 ms). A bf16 variant is rejected by Mosaic ("insertion
+    of minor dim ... only supported for 32-bit types").
+
+    Tiling: grid over (row tiles, candidate tiles); per step the (rb, jb)
+    candidate block evaluates against the full padded term axis Li in
+    ib-sized chunks. Term padding uses wx=wy=t=0 so padded terms contribute
+    min(0, 0) = 0; candidate padding produces junk F that the caller slices
+    off before the argmin.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, L = A2.shape
+    ceil_to = lambda v, m: -(-v // m) * m
+    # Fixed, measured-good tiles. Do NOT grow them: Mosaic software-pipelines
+    # the unrolled term loop and keeps several iterations' (rb, jb, ib)
+    # intermediates live in scoped VMEM — rb=16 at this shape already fails
+    # to compile with "Ran out of memory in memory space vmem" (22.4M > 16M).
+    rb, jb, ib = 8, 256, 512
+    jb = min(jb, ceil_to(L, 128))
+    ib = min(ib, ceil_to(L, 128))
+    Rp = ceil_to(R, rb)
+    Lj = ceil_to(L, jb)
+    Li = ceil_to(L, ib)
+    A_p = jnp.pad(A2, ((0, Rp - R), (0, Lj - L)))
+    wx_p = jnp.pad(wx2, ((0, Rp - R), (0, Li - L)))
+    wy_p = jnp.pad(wy2, ((0, Rp - R), (0, Li - L)))
+    t_p = jnp.pad(t2, ((0, Rp - R), (0, Li - L)))
+    n_i = Li // ib
+
+    def kernel(a_ref, x_ref, y_ref, t_ref, o_ref):
+        a = a_ref[...]                                     # (rb, jb)
+        acc = jnp.zeros((rb, jb), jnp.float32)
+        for it in range(n_i):                              # static unroll
+            x = x_ref[:, it * ib:(it + 1) * ib]            # (rb, ib)
+            y = y_ref[:, it * ib:(it + 1) * ib]
+            t = t_ref[:, it * ib:(it + 1) * ib]
+            v = jnp.minimum(t[:, None, :],
+                            jnp.abs(a[:, :, None] * x[:, None, :] - y[:, None, :]))
+            acc = acc + v.sum(axis=-1)
+        o_ref[...] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // rb, Lj // jb),
+        in_specs=[
+            pl.BlockSpec((rb, jb), lambda r, j: (r, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, Li), lambda r, j: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, Li), lambda r, j: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, Li), lambda r, j: (r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, jb), lambda r, j: (r, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, Lj), jnp.float32),
+        interpret=interpret,
+    )(A_p, wx_p, wy_p, t_p)
+    return out[:R, :L]
+
+
+def _dense_kernel_mode() -> str:
+    """Resolve the dense-objective evaluator: 'pallas' | 'xla' | 'interpret'."""
+    mode = os.environ.get("MOGE_ALIGN_DENSE_KERNEL", "auto")
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mode not in ("pallas", "xla", "interpret"):
+        raise ValueError(
+            f"MOGE_ALIGN_DENSE_KERNEL={mode!r} — expected 'auto', 'pallas', "
+            "'xla' or 'interpret'")
+    return mode
+
+
+def _dense_kernel_min_l() -> int:
+    """Candidate-length threshold below which the XLA dense form is used even
+    in pallas mode: at the v2 patch shapes (L = 108..1728) the XLA broadcast
+    form measures FASTER than the kernel (142 vs 160 ms at L=1728 — small
+    per-grid-step compute makes fixed step overhead dominate), while at the
+    global shape (L=6912) the kernel wins 2.3x (tools/bench_align_impls.py
+    --impls dense_xla dense_pallas)."""
+    return int(os.environ.get("MOGE_ALIGN_DENSE_KERNEL_MIN_L", "4096"))
+
+
+def _dense_kernel_active(trunc, length: int) -> bool:
+    """True when a truncated align at candidate length ``length`` would
+    evaluate via the Pallas kernel."""
+    if trunc is None:
+        return False
+    impl = os.environ.get("MOGE_ALIGN_TRUNC_IMPL", "auto")
+    if impl not in ("auto", "dense"):
+        return False
+    mode = _dense_kernel_mode()
+    if mode == "xla":
+        return False
+    return mode == "interpret" or length >= _dense_kernel_min_l()
+
+
 def _align_trunc_dense(xs, ys, wx, wy, A, trunc_arr, eps):
     """Truncated exact-L1 align by DENSE evaluation of the objective at every
     candidate: F_j = sum_i min(trunc, |A_j * wx_i - wy_i|)  (w_i|a x_i - y_i|
@@ -81,29 +188,44 @@ def _align_trunc_dense(xs, ys, wx, wy, A, trunc_arr, eps):
     # along the TERM axis i (last axis of the (r, cb, L) chunk), never the
     # candidate axis
     t_sg = jax.lax.stop_gradient(trunc_arr)
-    if t_sg.ndim:
-        t_b = jnp.broadcast_to(t_sg, xs.shape).reshape(r, 1, L)
+
+    # F evaluator: the Pallas kernel on TPU for long candidate rows (2.3x the
+    # XLA form at the global shape, see _dense_objective_pallas and
+    # _dense_kernel_min_l), the XLA broadcast+lax.map form elsewhere.
+    # MOGE_ALIGN_DENSE_KERNEL = pallas | xla | interpret | auto.
+    kernel_mode = _dense_kernel_mode()
+    use_kernel = kernel_mode == "interpret" or (
+        kernel_mode == "pallas" and L >= _dense_kernel_min_l())
+
+    if use_kernel:
+        if t_sg.ndim:
+            t2 = jnp.broadcast_to(t_sg, xs.shape).reshape(r, L).astype(jnp.float32)
+        else:
+            t2 = jnp.broadcast_to(t_sg.astype(jnp.float32), (r, L))
+        f = _dense_objective_pallas(A2.astype(jnp.float32), wx2.astype(jnp.float32),
+                                    wy2.astype(jnp.float32), t2,
+                                    interpret=kernel_mode == "interpret")
     else:
-        t_b = t_sg
+        t_b = jnp.broadcast_to(t_sg, xs.shape).reshape(r, 1, L) if t_sg.ndim else t_sg
 
-    target = int(os.environ.get("MOGE_ALIGN_DENSE_ELEMS", str(1 << 25)))
-    cb = max(1, min(L, target // max(r * L, 1)))
-    nch = -(-L // cb)
+        target = int(os.environ.get("MOGE_ALIGN_DENSE_ELEMS", str(1 << 25)))
+        cb = max(1, min(L, target // max(r * L, 1)))
+        nch = -(-L // cb)
 
-    a_pad = jnp.pad(A2, ((0, 0), (0, nch * cb - L)))
+        a_pad = jnp.pad(A2, ((0, 0), (0, nch * cb - L)))
 
-    def chunk_f(start):
-        a_c = jax.lax.dynamic_slice(a_pad, (0, start), (r, cb))       # (r, cb)
-        return jnp.sum(
-            jnp.minimum(t_b, jnp.abs(a_c[:, :, None] * wx2[:, None, :] - wy2[:, None, :])),
-            axis=-1,
-        )
+        def chunk_f(start):
+            a_c = jax.lax.dynamic_slice(a_pad, (0, start), (r, cb))       # (r, cb)
+            return jnp.sum(
+                jnp.minimum(t_b, jnp.abs(a_c[:, :, None] * wx2[:, None, :] - wy2[:, None, :])),
+                axis=-1,
+            )
 
-    if nch == 1:
-        f = chunk_f(0)
-    else:
-        f = jax.lax.map(chunk_f, jnp.arange(nch) * cb)                 # (nch, r, cb)
-        f = jnp.moveaxis(f, 0, 1).reshape(r, nch * cb)[:, :L]
+        if nch == 1:
+            f = chunk_f(0)
+        else:
+            f = jax.lax.map(chunk_f, jnp.arange(nch) * cb)                 # (nch, r, cb)
+            f = jnp.moveaxis(f, 0, 1).reshape(r, nch * cb)[:, :L]
 
     f = jax.lax.stop_gradient(f)
     index = jnp.argmin(f, axis=-1)
@@ -372,9 +494,20 @@ def _flat_anchor_align(n_rows: int, n_anchors: int, length: int, make_chunk, tru
     anchor scan (latency-bound, and the nested-scan structure is implicated
     in the fused-program runtime fault, docs/split_loss_tpu_fault.md).
     """
-    if elems is None:
-        elems = int(os.environ.get("MOGE_ALIGN_ANCHOR_ELEMS", str(1 << 22)))
     total = n_rows * n_anchors
+    if elems is None:
+        if _dense_kernel_active(trunc, length):
+            # The Pallas dense evaluator must NOT sit inside a lax.map: XLA
+            # stack-allocates a while-body custom-call's full operands in
+            # scoped VMEM (16 MB) and the compile fails with "Ran out of
+            # memory in memory space vmem" once (m, L) exceeds ~4M elements.
+            # One flat chunk keeps the kernel at top level (operands stay in
+            # HBM, blocks are DMA'd per tile) and removes the serialized
+            # 8-chunk map; peak HBM is ~8 arrays x total*length*4B ~ 1 GB at
+            # the v2 loss shapes.
+            elems = total * max(length, 1)
+        else:
+            elems = int(os.environ.get("MOGE_ALIGN_ANCHOR_ELEMS", str(1 << 22)))
     m = int(min(total, max(128, elems // max(length, 1))))
 
     def solve(start):

@@ -17,8 +17,13 @@ tested, letting the fallbacks rot silently. These tests pin all of them:
   * per-element trunc of shape (..., n) (supported by the reference's
     signature) against torch, per impl;
   * bitonic sort_with_payloads vs lax.sort inside the events impl;
-  * unknown MOGE_ALIGN_TRUNC_IMPL values raise instead of silently falling
-    through.
+  * unknown MOGE_ALIGN_TRUNC_IMPL / MOGE_ALIGN_DENSE_KERNEL values raise
+    instead of silently falling through.
+
+``dense_kernel`` covers the Pallas dense-objective evaluator (the TPU
+default inside the dense impl, round 5) in interpret mode, including its
+row/candidate/term padding paths (the test shapes are far from the 128-lane
+tile sizes).
 """
 
 import numpy as np
@@ -35,7 +40,20 @@ from moge.utils import alignment as ref_align  # noqa: E402
 
 from moge_tpu.ops import alignment as jal  # noqa: E402
 
-IMPLS = ["dense", "events", "prefix"]
+IMPLS = ["dense", "dense_kernel", "events", "prefix"]
+
+
+def _set_impl(monkeypatch, impl):
+    """Select an align impl via env. ``dense_kernel`` is the dense impl with
+    the Pallas objective evaluator run in interpret mode (the TPU default
+    path, executable on the CPU test backend); ``dense`` pins the XLA
+    evaluator dense otherwise uses only on non-TPU backends."""
+    if impl == "dense_kernel":
+        monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", "dense")
+        monkeypatch.setenv("MOGE_ALIGN_DENSE_KERNEL", "interpret")
+    else:
+        monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", impl)
+        monkeypatch.setenv("MOGE_ALIGN_DENSE_KERNEL", "xla")
 
 
 def _brute_force(x, y, w, trunc):
@@ -95,7 +113,7 @@ CASES = _adversarial_cases()
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_truncated_minimizer_property(monkeypatch, impl, case):
     x, y, w, trunc = CASES[case]
-    monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", impl)
+    _set_impl(monkeypatch, impl)
     a, loss, index = jal.align(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w), trunc=trunc)
     a, loss, index = np.asarray(a), np.asarray(loss), np.asarray(index)
 
@@ -134,7 +152,7 @@ def test_truncated_golden_vs_reference(monkeypatch, impl):
     w = np.abs(rng.standard_normal((3, 40))).astype(np.float32)
 
     ra, rl, _ = ref_align.align(torch.from_numpy(x), torch.from_numpy(y), torch.from_numpy(w), trunc=1.0)
-    monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", impl)
+    _set_impl(monkeypatch, impl)
     ga, gl, _ = jal.align(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w), trunc=1.0)
     np.testing.assert_allclose(np.asarray(gl), rl.numpy(), rtol=1e-4, atol=1e-5, err_msg=impl)
     np.testing.assert_allclose(np.asarray(ga), ra.numpy(), rtol=1e-5, atol=1e-6, err_msg=impl)
@@ -152,7 +170,7 @@ def test_per_element_trunc(monkeypatch, impl):
 
     ra, rl, _ = ref_align.align(
         torch.from_numpy(x), torch.from_numpy(y), torch.from_numpy(w), trunc=torch.from_numpy(t))
-    monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", impl)
+    _set_impl(monkeypatch, impl)
     ga, gl, _ = jal.align(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w), trunc=jnp.asarray(t))
     np.testing.assert_allclose(np.asarray(gl), rl.numpy(), rtol=1e-4, atol=1e-5, err_msg=impl)
     np.testing.assert_allclose(np.asarray(ga), ra.numpy(), rtol=1e-5, atol=1e-6, err_msg=impl)
@@ -185,4 +203,11 @@ def test_events_bitonic_matches_lax_sort(monkeypatch, scalar_or_array):
 def test_unknown_impl_raises(monkeypatch):
     monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", "sorted")  # typo'd value
     with pytest.raises(ValueError, match="MOGE_ALIGN_TRUNC_IMPL"):
+        jal.align(jnp.ones((2, 8)), jnp.ones((2, 8)), jnp.ones((2, 8)), trunc=0.5)
+
+
+def test_unknown_dense_kernel_raises(monkeypatch):
+    monkeypatch.setenv("MOGE_ALIGN_TRUNC_IMPL", "dense")
+    monkeypatch.setenv("MOGE_ALIGN_DENSE_KERNEL", "mosaic")  # typo'd value
+    with pytest.raises(ValueError, match="MOGE_ALIGN_DENSE_KERNEL"):
         jal.align(jnp.ones((2, 8)), jnp.ones((2, 8)), jnp.ones((2, 8)), trunc=0.5)

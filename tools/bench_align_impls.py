@@ -78,7 +78,14 @@ def main():
         print(f"{name}: rows={p} n={n} L={3*n} total={elems/1e6:.1f}M input elems", flush=True)
         outs = {}
         for impl in args.impls:
-            os.environ["MOGE_ALIGN_TRUNC_IMPL"] = impl
+            # "dense_xla" / "dense_pallas" pin the dense objective evaluator;
+            # bare "dense" uses the auto choice (pallas on TPU since round 5)
+            if impl.startswith("dense_"):
+                os.environ["MOGE_ALIGN_TRUNC_IMPL"] = "dense"
+                os.environ["MOGE_ALIGN_DENSE_KERNEL"] = impl.split("_", 1)[1]
+            else:
+                os.environ["MOGE_ALIGN_TRUNC_IMPL"] = impl
+                os.environ.pop("MOGE_ALIGN_DENSE_KERNEL", None)
             fn = jax.jit(lambda s, t, ww: solver(s, t, ww, trunc=1.0))
             ms = bench(fn, src_j, tgt_j, w_j)
             results[(name, impl)] = ms
