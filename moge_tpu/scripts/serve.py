@@ -36,7 +36,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
 import click
@@ -50,6 +50,7 @@ VALID_MAPS = ("depth", "normal", "mask", "points", "intrinsics")
 class _Request:
     image: np.ndarray  # (H, W, 3) float32 in [0, 1], serve resolution
     fov_x: Optional[float]
+    maps: Tuple[str, ...] = DEFAULT_MAPS
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, np.ndarray]] = None
     error: Optional[str] = None
@@ -81,8 +82,9 @@ class InferenceBatcher:
         self._thread.start()
 
     # -- client side ---------------------------------------------------------
-    def infer(self, image: np.ndarray, fov_x: Optional[float], timeout_s: float = 120.0):
-        req = _Request(image=image, fov_x=fov_x)
+    def infer(self, image: np.ndarray, fov_x: Optional[float], maps=DEFAULT_MAPS,
+              timeout_s: float = 120.0):
+        req = _Request(image=image, fov_x=fov_x, maps=tuple(maps))
         self.queue.put(req)
         if not req.event.wait(timeout_s):
             raise TimeoutError("inference timed out")
@@ -123,46 +125,104 @@ class InferenceBatcher:
             jnp.asarray(images), num_tokens=self.num_tokens,
             fov_x=fov, use_fp16=self.use_fp16,
         )
-        out_np = {k: np.asarray(v) for k, v in out.items()}
-        for i, r in enumerate(group):
-            r.result = {k: v[i] for k, v in out_np.items()}
-            r.event.set()
+        # Only the UNION of the group's requested maps crosses device->host:
+        # over the tunneled runtime the readback is the serve bottleneck
+        # (pulling all five maps measured 2.2 req/s at 16 clients; depth +
+        # intrinsics is ~1/8 the bytes). Intrinsics always come along — the
+        # JSON body reports fov from them and they are 9 floats. Maps whose
+        # RESPONSE encoding is 16-bit anyway (depth/normal: log-png16; mask:
+        # binary png) transfer as fp16 — half the bytes, no information loss
+        # relative to the wire format; points/intrinsics stay fp32 (their
+        # response format is fp32 npz / json).
+        needed = set().union(*(set(r.maps) for r in group)) | {"intrinsics"}
+        # saturating cast for FINITE values: finite depths beyond the fp16
+        # range must stay finite (inf means "invalid" downstream, e.g.
+        # write_depth's mask), while genuine inf (masked sky) must stay inf
+        f16max = float(np.finfo(np.float16).max)
+        sat16 = lambda v: jnp.where(jnp.isfinite(v), jnp.clip(v, -f16max, f16max), v
+                                    ).astype(jnp.float16)
+        out_t = {k: (sat16(v) if k in ("depth", "normal", "mask") else v)
+                 for k, v in out.items() if k in needed}
+
+        def finalize():
+            # device->host readback + per-request fan-out; runs on the
+            # finalizer thread so the dispatch loop can already collect and
+            # dispatch the NEXT batch while this one's bytes stream back
+            # (the readback, not the compute, bounds tunneled serve).
+            out_np = {k: np.asarray(v).astype(np.float32) for k, v in out_t.items()}
+            for i, r in enumerate(group):
+                r.result = {k: v[i] for k, v in out_np.items()}
+                r.event.set()
+
         self.stats["batches"] += 1
         self.stats["batched_images"] += n
+        return finalize
+
+    def _fail_group(self, group, e):
+        self.stats["errors"] += 1
+        for r in group:
+            if not r.event.is_set():
+                r.error = f"{type(e).__name__}: {e}"
+                r.event.set()
 
     def _loop(self):
-        while not self._stop.is_set():
-            batch = self._collect()
-            if batch is None:
-                return
-            # one program input per fov_x value -> group before dispatch
-            groups: Dict[Any, list] = {}
-            for r in batch:
-                groups.setdefault(r.fov_x, []).append(r)
-            for group in groups.values():
+        import concurrent.futures as cf
+
+        # one-deep pipeline: overlap batch N's device->host readback with
+        # batch N+1's collect + dispatch
+        pool = cf.ThreadPoolExecutor(max_workers=1)
+        pending = None  # (future, group)
+        try:
+            while not self._stop.is_set():
+                batch = self._collect()
+                if batch is None:
+                    return
+                # one program input per fov_x value -> group before dispatch
+                groups: Dict[Any, list] = {}
+                for r in batch:
+                    groups.setdefault(r.fov_x, []).append(r)
+                for group in groups.values():
+                    try:
+                        finalize = self._run_group(group)
+                    except Exception as e:  # surface to the waiting requests
+                        self._fail_group(group, e)
+                        continue
+                    if pending is not None:
+                        fut, pgroup = pending
+                        try:
+                            fut.result()
+                        except Exception as e:
+                            self._fail_group(pgroup, e)
+                    pending = (pool.submit(finalize), group)
+        finally:
+            if pending is not None:
+                fut, pgroup = pending
                 try:
-                    self._run_group(group)
-                except Exception as e:  # surface to the waiting requests
-                    self.stats["errors"] += 1
-                    for r in group:
-                        if not r.event.is_set():
-                            r.error = f"{type(e).__name__}: {e}"
-                            r.event.set()
+                    fut.result()
+                except Exception as e:
+                    self._fail_group(pgroup, e)
+            pool.shutdown(wait=True)
 
     def warmup(self):
-        """Pre-compile every batch bucket by driving model.infer directly."""
+        """Pre-compile every batch bucket by driving model.infer directly.
+
+        Sync per bucket is a HOST READBACK, not block_until_ready: over the
+        tunneled TPU runtime block_until_ready returns before the program has
+        executed (docs/perf_model.md), so without the readback the first real
+        request queues behind all still-in-flight bucket compiles and hits
+        the 120 s batcher timeout."""
         import jax
+        import jax.numpy as jnp
 
         img = np.full((self.height, self.width, 3), 0.5, np.float32)
         b = 1
         while b <= self.max_batch:
-            import jax.numpy as jnp
-
             out = self.model.infer(
                 jnp.asarray(np.repeat(img[None], b, axis=0)),
                 num_tokens=self.num_tokens, fov_x=None, use_fp16=self.use_fp16,
             )
-            jax.block_until_ready(out)
+            for leaf in jax.tree.leaves(out):
+                np.asarray(leaf).ravel()[:1]
             b *= 2
 
     def stop(self):
@@ -266,10 +326,12 @@ def make_handler(batcher: InferenceBatcher, model_info: Dict[str, Any]):
 
             batcher.stats["requests"] += 1
             try:
-                result = batcher.infer(img, fov_x)
+                result = batcher.infer(img, fov_x, maps)
+                ctype, body = _response_payload(result, maps, fmt)
             except Exception as e:
+                # covers response ENCODING failures too — an uncaught handler
+                # exception kills the connection without a status line
                 return self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
-            ctype, body = _response_payload(result, maps, fmt)
             self._send(200, ctype, body)
 
     return Handler

@@ -305,6 +305,7 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
     with pipe:
         t_start = time.time()
         for i_step in range(initial_step, num_iterations):
+            t_step0 = time.perf_counter()
             if i_step <= low_res_steps:
                 num_tokens = num_tokens_range[0]
             else:
@@ -341,6 +342,17 @@ def main(config_path, workspace, batch_size_forward, gradient_accumulation_steps
                 # skip already prevented the update.
                 print(f"NaN loss at step {i_step}: {record}")
             records.append(record)
+
+            if is_main_process:
+                # Per-step shape/time trace (metrics.jsonl only carries
+                # log_every-window averages): records each step's token
+                # bucket and wall time, so recompiles (first hit of a bucket)
+                # and warm per-bucket step times are auditable from the log.
+                (workspace / "steps.jsonl").open("a").write(json.dumps({
+                    "step": i_step, "num_tokens": num_tokens,
+                    "t": round(time.perf_counter() - t_step0, 4),
+                    "total": round(record.get("total", float("nan")), 5),
+                }) + "\n")
 
             if (i_step % log_every == 0 or i_step == initial_step) and is_main_process:
                 avg = key_average(records)

@@ -91,11 +91,13 @@ ROWS = [
     ("serving: HTTP throughput, 518 px, 16 concurrent clients",
      ["serve_throughput_518px_c16"],
      "**{v0:.1f} req/s ({b0:.2f}x)**",
-     "`scripts/serve.py` micro-batching; p50/p99 latency in the serve rows below"),
+     "`scripts/serve.py` micro-batching over the dev tunnel: client-observed serve is "
+     "TRANSFER-bound (~4 MB/s device->host readback), not compute-bound — the same chip "
+     "measures 54.9 img/s of batched infer (row 2)"),
     ("serving: HTTP p50 / p99 latency under that load",
      ["serve_latency_518px_c16_p50", "serve_latency_518px_c16_p99"],
      "{v0:.0f} / {v1:.0f} ms",
-     "end-to-end client-observed (encode + HTTP + batch window + infer)"),
+     "end-to-end client-observed (encode + HTTP + batch window + infer + readback)"),
 ]
 
 

@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["single4", "single16", "separate", "fused_batched", "fused"],
+    ap.add_argument("--mode", choices=["single4", "single16", "separate", "fused_batched",
+                                       "fused", "fused_serialized"],
                     required=True)
     ap.add_argument("--hw", type=int, nargs=2, default=(592, 592),
                     help="point-map height width (default: 16*37 = the 1369-token decoder size)")
@@ -86,6 +87,24 @@ def main():
         l16, _ = affine_invariant_local_loss(k2, p, gt_j, focal, scale, level=16)
         return jnp.mean(l4) + jnp.mean(l16)
 
+    def fused_serialized(p, k):
+        # The HLO-informed rescue experiment (round 5): the fused dump shows
+        # two INDEPENDENT solver while-chains whose 16.8 MB chunk buffers are
+        # all assigned to scoped VMEM (layout tag S(1)); the singles carry
+        # one chain. Forcing a DATA dependency from loss-1's result into
+        # loss-2's input serializes the chains, so memory-space assignment
+        # can no longer overlay the two chains' VMEM intervals in parallel.
+        # If this executes where `fused` faults, the crash is pinned on the
+        # parallel-chain VMEM overlay; if it also faults, the overlay theory
+        # is dead and two solver chains per program are unsafe outright.
+        k1, k2 = jax.random.split(k)
+        l4, _ = affine_invariant_local_loss(k1, p, gt_j, focal, scale, level=4)
+        m4 = jnp.mean(l4)
+        # 0-valued, data-dependent perturbation: forces chain-2 after chain-1
+        p2 = p + jax.lax.stop_gradient(m4) * 0.0
+        l16, _ = affine_invariant_local_loss(k2, p2, gt_j, focal, scale, level=16)
+        return m4 + jnp.mean(l16)
+
     def report(name, loss, grad):
         gn = float(jnp.sqrt(jnp.sum(jnp.square(grad))))
         print(f"OK {name} loss={float(loss):.6f} grad_norm={gn:.6f}")
@@ -95,9 +114,10 @@ def main():
         # and compilation complete even for the fused mode. This is how the
         # faulting pattern's HLO is captured without wedging the chip.
         fns = {"single4": [one_loss(4)], "single16": [one_loss(16)],
-               "separate": [one_loss(4), one_loss(16)], "fused": [fused]}
+               "separate": [one_loss(4), one_loss(16)], "fused": [fused],
+               "fused_serialized": [fused_serialized]}
         if args.mode == "fused_batched":
-            raise SystemExit("--dump_hlo supports single4/single16/separate/fused")
+            raise SystemExit("--dump_hlo supports single4/single16/separate/fused[_serialized]")
         os.makedirs(args.dump_hlo, exist_ok=True)
         for i, f in enumerate(fns[args.mode]):
             compiled = jax.jit(jax.value_and_grad(f)).lower(pred_j, key).compile()
@@ -142,6 +162,11 @@ def main():
 
         loss, grad = jax.jit(jax.value_and_grad(fused_batched))(pred_j, key)
         report("fused_batched", loss, grad)
+    elif args.mode == "fused_serialized":
+        print("running fused-SERIALIZED two-local-loss grad program (rescue experiment)...",
+              flush=True)
+        loss, grad = jax.jit(jax.value_and_grad(fused_serialized))(pred_j, key)
+        report("fused_serialized", loss, grad)
     else:
         print("running fused two-local-loss grad program (expected: TPU worker crash)...",
               flush=True)
