@@ -398,27 +398,47 @@ def make_split_grad_step(
             if hasattr(leaf, "shape")
         )
 
+    def _params_bytes(params) -> int:
+        return sum(
+            math.prod(leaf.shape) * jnp.dtype(leaf.dtype).itemsize
+            for leaf in jax.tree.leaves(params)
+            if hasattr(leaf, "shape")
+        )
+
     def _decide_replay(params, image) -> bool:
         key = (image.shape, str(image.dtype))
         if key in _replay_by_shape:
             return _replay_by_shape[key]
+        dev = None
         try:
-            stats = image.devices().pop().memory_stats() if hasattr(image, "devices") else None
+            dev = image.devices().pop() if hasattr(image, "devices") else None
+            stats = dev.memory_stats() if dev is not None else None
         except Exception:
             stats = None
-        if not stats or "bytes_limit" not in stats:
-            decision = True  # no accounting available (CPU test mesh): keep replay
-        else:
+        if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
-            need = _residual_bytes(params, image)
-            # Replay holds the residuals across the P2 programs AND needs
-            # working space for the backward itself; require 2x headroom so
-            # the P3 program's own temporaries fit beside the stored pytree.
-            decision = 2 * need <= free
-            if not decision:
-                print(f"[split-step] residual replay disabled for {key[0]}: "
-                      f"residuals {need / 1e9:.2f} GB x2 > free HBM {free / 1e9:.2f} GB "
-                      f"(recompute-forward P3 selected)")
+        elif dev is not None and getattr(dev, "platform", None) == "tpu":
+            # Tunneled runtimes (axon) return memory_stats() = None, which
+            # used to silently default to replay — and OOM'd the real chip at
+            # the first >=2000-token bucket of a variable-shape run. With no
+            # allocator accounting, budget against an assumed HBM size minus
+            # the standing training state (fp32 params + 2 Adam moments +
+            # EMA + the P3 output gradients = ~5x the param bytes).
+            limit = int(float(os.environ.get("MOGE_HBM_BYTES", 16e9)))
+            free = limit - 5 * _params_bytes(params)
+        else:
+            decision = True  # CPU test mesh: buffers page to host, keep replay
+            _replay_by_shape[key] = decision
+            return decision
+        need = _residual_bytes(params, image)
+        # Replay holds the residuals across the P2 programs AND needs
+        # working space for the backward itself; require 2x headroom so
+        # the P3 program's own temporaries fit beside the stored pytree.
+        decision = 2 * need <= free
+        if not decision:
+            print(f"[split-step] residual replay disabled for {key[0]}: "
+                  f"residuals {need / 1e9:.2f} GB x2 > free HBM {free / 1e9:.2f} GB "
+                  f"(recompute-forward P3 selected)")
         _replay_by_shape[key] = decision
         return decision
 

@@ -366,6 +366,31 @@ def test_split_step_replay_auto_sizing(monkeypatch):
     # and the decision is cached per input shape
     assert split.replay_decisions == {((2, 16, 16, 3), "float32"): False}
 
+    # Tunneled TPU runtimes (axon) return memory_stats() = None: the decision
+    # must then budget against MOGE_HBM_BYTES (minus the ~5x-params standing
+    # state) instead of silently keeping replay — the silent default OOM'd
+    # the real chip at the first large token bucket (round-5 proof run).
+    class _NoStatsTpuArr(_FakeArr):
+        def devices(self):
+            class _Dev:
+                platform = "tpu"
+
+                def memory_stats(self):
+                    return None
+
+            return {_Dev()}
+
+    split.replay_decisions.clear()
+    monkeypatch.setenv("MOGE_HBM_BYTES", str(n_bytes))  # nothing fits
+    assert split.decide_replay(state.params, _NoStatsTpuArr(batch["image"], 0)) is False
+    split.replay_decisions.clear()
+    monkeypatch.setenv("MOGE_HBM_BYTES", str(n_bytes * 100))  # plenty
+    assert split.decide_replay(state.params, _NoStatsTpuArr(batch["image"], 0)) is True
+    # CPU/no-device default (paged host buffers) stays replay
+    split.replay_decisions.clear()
+    monkeypatch.setenv("MOGE_HBM_BYTES", str(n_bytes))
+    assert split.decide_replay(state.params, batch["image"]) is True
+
     # the gradients still match the fused step when auto selects recompute
     key = jax.random.PRNGKey(5)
     fused = jax.jit(make_grad_step(module, _LOSS_CONFIG, _LABEL_TYPES, 0))
